@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash).
+
+Spatial workloads derive (x, y, ts) deterministically from integer ids with
+arithmetic that is bit-identical between Spark and DuckDB (see
+distributed_spatial_index_spark/functions/geo_derive.py), so the DuckDB
+oracle verifies the spatial joins exactly — the same oracle-diff strategy the
+reference uses (SingleNodeIndexPF.java / ResultCompare.java:11-41).
 """
 
 from __future__ import annotations
@@ -13,26 +18,80 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from distributed_spatial_index_spark.config import EPSILON
+from distributed_spatial_index_spark.operators.density import (
+    density_grid,
+    density_grid_sql,
+)
+from distributed_spatial_index_spark.operators.range_join import point_range_join
+from distributed_spatial_index_spark.operators.tiles import (
+    assign_tiles,
+    assign_tiles_sql,
+    tile_counts,
+    tile_counts_sql,
+)
+from distributed_spatial_index_spark.sources import tables as src
+
+_GEO_TABLE = "lineitem"  # biggest id-carrying table -> most meaningful checks
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: distributed spatial range
+    join (cell route -> epsilon refine -> merge)."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = src.geo_points(spark, sf_dir, _GEO_TABLE)
+    qs = src.range_queries(spark, sf_dir, _GEO_TABLE)
+    return point_range_join(pts, qs)
+
+
+# --- queries ---------------------------------------------------------------
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return point_range_join(
+        src.geo_points(spark, sf_dir, _GEO_TABLE),
+        src.range_queries(spark, sf_dir, _GEO_TABLE),
+    )
+
+
+def _q_query_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return src.range_queries(spark, sf_dir, _GEO_TABLE)
+
+
+def _q_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assign_tiles(src.geo_points(spark, sf_dir, _GEO_TABLE))
+
+
+def _q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tile_counts(src.geo_points(spark, sf_dir, _GEO_TABLE))
+
+
+def _q_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return density_grid(src.geo_points(spark, sf_dir, _GEO_TABLE))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "range_join": _q_range_join,
+        "query_gen": _q_query_gen,
+        "tile_assignment": _q_tile_assignment,
+        "tile_counts": _q_tile_counts,
+        "density_grid": _q_density_grid,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = src.geo_points_sql(_GEO_TABLE)
+    qs = src.range_queries_sql(_GEO_TABLE)
+    return {
+        "range_join": f"""
+            SELECT DISTINCT q.query_id, p.id AS doc_id
+            FROM ({pts}) p, ({qs}) q
+            WHERE p.x >= q.xmin - {EPSILON!r} AND p.x <= q.xmax + {EPSILON!r}
+              AND p.y >= q.ymin - {EPSILON!r} AND p.y <= q.ymax + {EPSILON!r}
+        """,
+        "query_gen": qs,
+        "tile_assignment": assign_tiles_sql(pts),
+        "tile_counts": tile_counts_sql(pts),
+        "density_grid": density_grid_sql(pts),
+    }

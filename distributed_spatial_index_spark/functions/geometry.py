@@ -1,0 +1,70 @@
+"""Geometry predicates/constructors as Spark column expressions.
+
+Mirrors the reference's Rectangle/Point method surface (SURVEY.md §2.6):
+- epsilon-padded MBR intersection (Rectangle.java:280-289),
+- rect extension by radius (Rectangle.java:149-155),
+- MBR center (Rectangle.java:116-118), L2 distance (Point.java:59-61),
+all with the reference's 1e-5 epsilon (Constants.java:17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from distributed_spatial_index_spark.config import EPSILON
+
+
+def rects_intersect(
+    axmin: Column, aymin: Column, axmax: Column, aymax: Column,
+    bxmin: Column, bymin: Column, bxmax: Column, bymax: Column,
+    eps: float = EPSILON,
+) -> Column:
+    """Epsilon-padded MBR intersection predicate (Rectangle.java:280-289)."""
+    e = F.lit(eps)
+    return (
+        (axmin <= bxmax + e) & (bxmin <= axmax + e)
+        & (aymin <= bymax + e) & (bymin <= aymax + e)
+    )
+
+
+def rects_intersect_sql(
+    a: tuple[str, str, str, str], b: tuple[str, str, str, str], eps: float = EPSILON
+) -> str:
+    """DuckDB-compatible SQL form of :func:`rects_intersect` (same op order)."""
+    axmin, aymin, axmax, aymax = a
+    bxmin, bymin, bxmax, bymax = b
+    return (
+        f"({axmin} <= {bxmax} + {eps!r} AND {bxmin} <= {axmax} + {eps!r} "
+        f"AND {aymin} <= {bymax} + {eps!r} AND {bymin} <= {aymax} + {eps!r})"
+    )
+
+
+def rect_contains_point(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+    px: Column, py: Column, eps: float = EPSILON,
+) -> Column:
+    """Epsilon-padded point containment (Rectangle.java:350-359)."""
+    e = F.lit(eps)
+    return (px >= xmin - e) & (px <= xmax + e) & (py >= ymin - e) & (py <= ymax + e)
+
+
+def extend_rect(x: Column, y: Column, radius: float) -> list[Column]:
+    """Square of half-width ``radius`` around a point (Rectangle.java:149-155).
+
+    Returns [xmin, ymin, xmax, ymax] columns.
+    """
+    r = F.lit(radius)
+    return [x - r, y - r, x + r, y + r]
+
+
+def center(lo: Column, hi: Column) -> Column:
+    """Midpoint of an MBR axis (Rectangle.java:116-118)."""
+    return (lo + hi) / F.lit(2.0)
+
+
+def dist2(ax: Column, ay: Column, bx: Column, by: Column) -> Column:
+    """Squared L2 distance (Point.java:59-61 without the sqrt)."""
+    dx = ax - bx
+    dy = ay - by
+    return dx * dx + dy * dy

@@ -1,0 +1,145 @@
+"""Distributed spatial range join: cell equi-join + epsilon-MBR refine.
+
+Spark-first re-expression of the reference's route -> per-worker-index-probe
+-> merge pipeline (GlobalTreePF.java:51-72 routing, RCtree.rectQuery
+LocalTreePF.java:79-84 probe, QueryResultPF.java:44-51 merge+dedup):
+
+- routing  = explode(covering_cells(rect)) and an equi-join on the Morton
+  cell id — Catalyst plans it as a broadcast or shuffled hash join; the
+  reference's hand-placed keyBy shuffles disappear;
+- probe    = vectorized epsilon predicate (whole-stage codegen), replacing
+  RC-tree descent;
+- merge    = dropDuplicates on (query_id, doc_id), replacing the per-window
+  HashSet union (boundary-duplicated MBR docs collapse here);
+- logical sliding window = event-time range predicate (LocalTreePF.java:69
+  eviction semantics recomputed declaratively, SURVEY.md I13).
+
+Scale notes (100 TB / 1000 executors): the doc side shuffles at most once, on
+the cell id; with queries small relative to docs the query side broadcasts
+and the doc side doesn't shuffle at all.  Hot cells are handled by AQE skew
+splitting plus optional explicit salting (plans/partitioning.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_spatial_index_spark.config import (
+    DEFAULT_REGION,
+    EPSILON,
+    JOIN_BITS,
+    Region,
+)
+from distributed_spatial_index_spark.functions.cells import (
+    cell_id_col,
+    covering_cells_col,
+)
+from distributed_spatial_index_spark.functions.geometry import (
+    rect_contains_point,
+    rects_intersect,
+)
+
+
+def explode_query_cells(
+    queries: DataFrame,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+) -> DataFrame:
+    """One row per (query, covering cell); the rect is epsilon-padded first so
+    a point matching the padded predicate from a neighbor cell still meets its
+    query (J1 routing duplication, GlobalTreePF.java:58-63)."""
+    e = F.lit(eps)
+    return queries.withColumn(
+        "cell",
+        F.explode(
+            covering_cells_col(
+                F.col("xmin") - e,
+                F.col("ymin") - e,
+                F.col("xmax") + e,
+                F.col("ymax") + e,
+                bits=bits,
+                region=region,
+            )
+        ),
+    )
+
+
+def point_range_join(
+    points: DataFrame,
+    queries: DataFrame,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+    horizon_ms: int | None = None,
+    horizon_end_ms: int | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """points(id, x, y, ts) ⋈ queries(query_id, xmin, ymin, xmax, ymax)
+    → (query_id, doc_id) where the point lies in the epsilon-padded rect.
+
+    ``horizon_ms``/``horizon_end_ms`` apply the reference's logical sliding
+    window: only points with ``horizon_end - horizon <= ts < horizon_end``
+    are indexed (LocalTreePF.java:69,93-103).
+    """
+    if horizon_ms is not None and horizon_end_ms is not None:
+        points = points.filter(
+            (F.col("ts") >= F.lit(horizon_end_ms - horizon_ms))
+            & (F.col("ts") < F.lit(horizon_end_ms))
+        )
+    pts = points.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
+    q = explode_query_cells(queries, bits, region, eps)
+    if broadcast_queries:
+        q = F.broadcast(q)
+    joined = pts.join(q, "cell").filter(
+        rect_contains_point(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            F.col("x"), F.col("y"), eps,
+        )
+    )
+    # A point lives in exactly one cell, so cell routing adds no duplicates;
+    # the dropDuplicates is the reference's merge-stage HashSet semantics
+    # (QueryResultPF.java:44-48): the answer is a SET of (query, doc) pairs,
+    # so id-colliding input rows collapse.  It shuffles only the (small)
+    # result, never the doc table.
+    return (
+        joined.select(F.col("query_id"), F.col("id").alias("doc_id"))
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+
+
+def mbr_range_join(
+    docs: DataFrame,
+    queries: DataFrame,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """docs(id, xmin, ymin, xmax, ymax) ⋈ queries(...) on epsilon-MBR
+    intersection (Rectangle.java:280-289).  Docs covering several cells are
+    routed once per cell (GlobalTreePF.java:58-63); the final dropDuplicates
+    is the reference's merge-stage HashSet dedup (QueryResultPF.java:44-48).
+    """
+    d = docs.withColumn(
+        "cell",
+        F.explode(
+            covering_cells_col(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+                bits=bits, region=region,
+            )
+        ),
+    ).select("cell", F.col("id").alias("doc_id"),
+             F.col("xmin").alias("dxmin"), F.col("ymin").alias("dymin"),
+             F.col("xmax").alias("dxmax"), F.col("ymax").alias("dymax"))
+    q = explode_query_cells(queries, bits, region, eps)
+    if broadcast_queries:
+        q = F.broadcast(q)
+    joined = d.join(q, "cell").filter(
+        rects_intersect(
+            F.col("dxmin"), F.col("dymin"), F.col("dxmax"), F.col("dymax"),
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), eps,
+        )
+    )
+    return joined.select("query_id", "doc_id").dropDuplicates(["query_id", "doc_id"])

@@ -1,0 +1,104 @@
+"""Testdata table loaders + deterministic geo enrichment.
+
+Replaces the reference's text-file replay source (StreamingJob.java:121-127)
+with parquet scans.  Every loader has a matching DuckDB SQL builder producing
+bit-identical rows, used by the oracle gate (__spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_spatial_index_spark.config import QUERY_RADIUS, QUERY_RATIO
+from distributed_spatial_index_spark.functions import geo_derive as gd
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- integer id per table (unique, stable, oracle-expressible) -------------
+
+_ID_COL = {
+    "documents": lambda: F.col("doc_id"),
+    "lineitem": lambda: F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber"),
+    "events": lambda: F.col("event_id"),
+}
+
+_ID_SQL = {
+    "documents": "doc_id",
+    "lineitem": "(l_orderkey * 10 + l_linenumber)",
+    "events": "event_id",
+}
+
+
+def geo_points(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "lineitem",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(id, x, y, ts) point table derived deterministically from ``table``.
+
+    Column pruning: only the id-carrying columns are read from parquet.
+
+    ``parallelism``: repartition the narrow id column BEFORE deriving, so the
+    derivation + cell math + join probe run that wide.  Needed when the input
+    is a single parquet row group (scan parallelism 1); at real scale files
+    split naturally and this should stay None.
+    """
+    id_col = _ID_COL[table]()
+    raw = load(spark, sf_dir, table).select(id_col.alias("id"))
+    if parallelism:
+        raw = raw.repartition(parallelism)
+    return raw.select(
+        "id",
+        gd.derive_x_col(F.col("id")).alias("x"),
+        gd.derive_y_col(F.col("id")).alias("y"),
+        gd.derive_ts_col(F.col("id")).alias("ts"),
+    )
+
+
+def geo_points_sql(table: str = "lineitem") -> str:
+    i = _ID_SQL[table]
+    return (
+        f"SELECT {i} AS id, {gd.derive_x_sql(i)} AS x, "
+        f"{gd.derive_y_sql(i)} AS y, {gd.derive_ts_sql(i)} AS ts FROM {table}"
+    )
+
+
+def range_queries(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "lineitem",
+    ratio: int = QUERY_RATIO,
+    radius: float = QUERY_RADIUS,
+) -> DataFrame:
+    """Every ``ratio``-th point spawns a query rect of half-width ``radius``
+    around it (ToInputItemFlatMap.java:32-36, Rectangle.java:149-155).
+
+    Residue 3 (not 0) because lineitem-derived ids are ``okey*10 + ln`` with
+    ``ln`` in 1..7 — residue 0 mod 150 would never occur there.
+    """
+    pts = geo_points(spark, sf_dir, table).filter((F.col("id") % ratio) == 3)
+    r = F.lit(radius)
+    return pts.select(
+        F.col("id").alias("query_id"),
+        F.col("ts").alias("qts"),
+        (F.col("x") - r).alias("xmin"),
+        (F.col("y") - r).alias("ymin"),
+        (F.col("x") + r).alias("xmax"),
+        (F.col("y") + r).alias("ymax"),
+    )
+
+
+def range_queries_sql(
+    table: str = "lineitem", ratio: int = QUERY_RATIO, radius: float = QUERY_RADIUS
+) -> str:
+    return (
+        f"SELECT id AS query_id, ts AS qts, "
+        f"x - {radius!r} AS xmin, y - {radius!r} AS ymin, "
+        f"x + {radius!r} AS xmax, y + {radius!r} AS ymax "
+        f"FROM ({geo_points_sql(table)}) WHERE id % {ratio} = 3"
+    )

@@ -1,0 +1,45 @@
+"""Replicates the driver's correctness gate: every queries() entry must match
+its oracle_sql() on the same parquet tables (order-insensitive row sets)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 9) if math.isfinite(v) else v
+    return v
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    oracle = entrymod.oracle_sql().get(name)
+    if oracle is None:
+        assert sdf.count() >= 0  # rows-only check, like the driver
+        return
+    cols = sorted(sdf.columns)
+    a = sorted(tuple(_norm(r[c]) for c in cols) for r in sdf.collect())
+    res = ddb.execute(oracle)
+    names = [d[0] for d in res.description]
+    rows = res.fetchall()
+    assert sorted(names) == cols, f"{name}: columns {names} vs {sdf.columns}"
+    idx = [names.index(c) for c in cols]
+    b = sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+    assert a == b, (
+        f"{name}: spark={len(a)} oracle={len(b)} "
+        f"first-diff={next(((x, y) for x, y in zip(a, b) if x != y), None)}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
