@@ -23,6 +23,12 @@ from distributed_spatial_index_spark.operators.density import (
     density_grid,
     density_grid_sql,
 )
+from distributed_spatial_index_spark.operators.knn import knn, knn_oracle_sql
+from distributed_spatial_index_spark.operators.pip_join import (
+    pip_join,
+    triangle_pip_oracle_sql,
+    triangle_polygons,
+)
 from distributed_spatial_index_spark.operators.range_join import point_range_join
 from distributed_spatial_index_spark.operators.tiles import (
     assign_tiles,
@@ -70,6 +76,21 @@ def _q_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return density_grid(src.geo_points(spark, sf_dir, _GEO_TABLE))
 
 
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn(
+        src.unique_geo_points(spark, sf_dir, _GEO_TABLE),
+        src.knn_queries(spark, sf_dir, _GEO_TABLE),
+        k=5,
+    )
+
+
+def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pip_join(
+        src.geo_points(spark, sf_dir, _GEO_TABLE),
+        triangle_polygons(src.knn_queries(spark, sf_dir, _GEO_TABLE)),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_join": _q_range_join,
@@ -77,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assignment": _q_tile_assignment,
         "tile_counts": _q_tile_counts,
         "density_grid": _q_density_grid,
+        "knn": _q_knn,
+        "pip_join": _q_pip_join,
     }
 
 
@@ -94,4 +117,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_assignment": assign_tiles_sql(pts),
         "tile_counts": tile_counts_sql(pts),
         "density_grid": density_grid_sql(pts),
+        "knn": knn_oracle_sql(
+            src.unique_geo_points_sql(_GEO_TABLE), src.knn_queries_sql(_GEO_TABLE), k=5
+        ),
+        "pip_join": triangle_pip_oracle_sql(pts, src.knn_queries_sql(_GEO_TABLE)),
     }

@@ -1,0 +1,138 @@
+"""kNN via expanding cell-ring search (north-star op; absent in the
+reference — SURVEY.md §2.5 A6 — so semantics are defined by the exact
+oracle: k nearest by L2 distance, ties broken by doc id).
+
+Algorithm (SURVEY.md §7.2 step 7):
+  round i: candidates = points within the cell cover of the query box
+  ±r_i, kept if euclid_dist <= r_i.  A query SETTLES when it has >= k such
+  candidates: every point with dist <= r_i is in the candidate set (the cell
+  cover is a superset of the disk), so the true kNN are all candidates —
+  the ring expansion terminates provably correctly (SURVEY.md §7.3 risk
+  "kNN correctness at partition edges").  Unsettled queries retry with
+  r *= growth.  The driver loop is data-dependent iteration Catalyst cannot
+  express; each round is pure DataFrame ops.
+
+Ranking per settled query runs on the small candidate set (a Window over
+(dist2, doc_id)), never on the full doc table — the brute-force alternative
+would shuffle |docs| x |queries| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_spatial_index_spark.config import (
+    DEFAULT_REGION,
+    JOIN_BITS,
+    Region,
+)
+from distributed_spatial_index_spark.functions.cells import (
+    cell_id_col,
+    covering_cells_col,
+)
+from distributed_spatial_index_spark.functions.geometry import dist2
+
+
+def knn(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    r0: float = 32.0,
+    growth: float = 4.0,
+    max_rounds: int = 8,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+) -> DataFrame:
+    """points(id, x, y) ⋈ queries(query_id, x, y) → k nearest points.
+
+    Returns (query_id, rank, doc_id, d2); rank 1..k ordered by squared L2
+    distance then doc_id.  ``points`` must be unique by id (dedupe upstream
+    if the source has id collisions).
+    """
+    spark = points.sparkSession
+    pts = points.select(
+        F.col("id"), F.col("x").alias("px"), F.col("y").alias("py")
+    ).withColumn("cell", cell_id_col(F.col("px"), F.col("py"), bits, region))
+    pts = pts.persist()
+
+    remaining = queries.select("query_id", F.col("x").alias("qx"), F.col("y").alias("qy"))
+    out: DataFrame | None = None
+    r = float(r0)
+    d2 = dist2(F.col("px"), F.col("py"), F.col("qx"), F.col("qy"))
+    w = Window.partitionBy("query_id").orderBy("d2", "doc_id")
+
+    for round_no in range(max_rounds):
+        qcells = remaining.withColumn(
+            "cell",
+            F.explode(
+                covering_cells_col(
+                    F.col("qx") - F.lit(r), F.col("qy") - F.lit(r),
+                    F.col("qx") + F.lit(r), F.col("qy") + F.lit(r),
+                    bits=bits, region=region,
+                )
+            ),
+        )
+        cand = (
+            pts.join(F.broadcast(qcells), "cell")
+            .withColumn("d2", d2)
+            .filter(F.col("d2") <= F.lit(r * r))
+            .select("query_id", F.col("id").alias("doc_id"), "d2")
+        )
+        counts = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+        settled = counts.filter(F.col("n") >= k).select("query_id").persist()
+        n_settled = settled.count()
+        if n_settled > 0:
+            topk = (
+                cand.join(F.broadcast(settled), "query_id")
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "doc_id", "d2")
+            )
+            out = topk if out is None else out.unionByName(topk)
+            # materialize before re-deriving `remaining` so later rounds
+            # don't recompute this round's join
+            out = out.persist()
+            out.count()
+            remaining = remaining.join(settled, "query_id", "left_anti").persist()
+        if remaining.isEmpty():
+            break
+        r *= growth
+    else:
+        # max_rounds exhausted: brute-force the stragglers (tiny by now)
+        if not remaining.isEmpty():
+            cand = (
+                pts.crossJoin(F.broadcast(remaining))
+                .withColumn("d2", d2)
+                .select("query_id", F.col("id").alias("doc_id"), "d2")
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "doc_id", "d2")
+            )
+            out = cand if out is None else out.unionByName(cand)
+
+    pts.unpersist()
+    if out is None:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, d2 double"
+        )
+    return out
+
+
+def knn_oracle_sql(points_sql: str, queries_sql: str, k: int = 5) -> str:
+    """Brute-force DuckDB oracle: rank by (d2, doc_id) per query.  The d2
+    expression mirrors the Spark column op-for-op so doubles are
+    bit-identical."""
+    return f"""
+        SELECT query_id, rank, doc_id, d2 FROM (
+            SELECT q.query_id AS query_id,
+                   p.id AS doc_id,
+                   ((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)) AS d2,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)),
+                                p.id
+                   ) AS INTEGER) AS rank
+            FROM ({points_sql}) p, ({queries_sql}) q
+        ) WHERE rank <= {k}
+    """

@@ -1,0 +1,155 @@
+"""Point-in-polygon join: cell prefilter + exact ray-casting refine.
+
+North-star upgrade of the reference's MBR-only matching (its exact
+rect-segment intersection code is dead, Rectangle.java:311-327; production
+matching stops at epsilon-MBR — SURVEY.md §2.6).  Classic filter-refine:
+
+  filter  = covering cells of the polygon bbox, equi-joined on the Morton
+            cell (same routing as the range join, GlobalTreePF.java:51-72);
+  refine  = even-odd ray casting, vectorized in NumPy over Arrow batches
+            (mapInPandas) — one pass per polygon over the batch's candidate
+            points, no per-row Python.
+
+Polygons are query-side metadata (small); they travel to executors as a
+Spark broadcast variable keyed by query_id, so candidate rows stay narrow
+(cell, doc_id, x, y, query_id).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_spatial_index_spark.config import DEFAULT_REGION, JOIN_BITS, Region
+from distributed_spatial_index_spark.functions.cells import (
+    cell_id_col,
+    covering_cells_col,
+)
+
+
+def ray_cast_np(px: np.ndarray, py: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Even-odd rule point-in-polygon, vectorized over points.
+
+    ``verts``: (n, 2) closed-or-open ring (closing edge added implicitly).
+    Boundary points are not guaranteed either way (measure-zero for the
+    derived double workloads; exact oracles avoid edge-incident points).
+    """
+    inside = np.zeros(len(px), dtype=bool)
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        crosses = (y1 > py) != (y2 > py)
+        if not crosses.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        inside ^= crosses & (px < xint)
+    return inside
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+) -> DataFrame:
+    """points(id, x, y) ⋈ polygons(query_id, vertices array<struct<x,y>>)
+    → (query_id, doc_id) for points strictly inside each polygon."""
+    spark = points.sparkSession
+
+    poly_rows = polygons.select("query_id", "vertices").collect()
+    polys = {
+        r["query_id"]: np.array([(v["x"], v["y"]) for v in r["vertices"]])
+        for r in poly_rows
+    }
+    bc = spark.sparkContext.broadcast(polys)
+
+    # bbox per polygon -> covering cells (query side, tiny)
+    vx = F.transform(F.col("vertices"), lambda v: v["x"])
+    vy = F.transform(F.col("vertices"), lambda v: v["y"])
+    qcells = (
+        polygons.select(
+            "query_id",
+            F.array_min(vx).alias("xmin"), F.array_min(vy).alias("ymin"),
+            F.array_max(vx).alias("xmax"), F.array_max(vy).alias("ymax"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(covering_cells_col(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+                bits=bits, region=region,
+            )),
+        )
+        .select("query_id", "cell")
+    )
+
+    pts = points.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
+    cand = pts.join(F.broadcast(qcells), "cell").select(
+        "query_id", F.col("id").alias("doc_id"), "x", "y"
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        polys_local = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf["x"].to_numpy()
+            py = pdf["y"].to_numpy()
+            qid = pdf["query_id"].to_numpy()
+            for q in np.unique(qid):
+                m = qid == q
+                keep[m] = ray_cast_np(px[m], py[m], polys_local[q])
+            yield pdf.loc[keep, ["query_id", "doc_id"]]
+
+    return (
+        cand.mapInPandas(refine, schema="query_id long, doc_id long")
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+
+
+# --- deterministic triangle workload (oracle-expressible) -------------------
+
+# triangle around a point (x, y): CCW vertices
+TRI = [(0.0, -25.0), (30.0, 20.0), (-28.0, 15.0)]
+
+
+def triangle_polygons(queries_xy: DataFrame) -> DataFrame:
+    """(query_id, x, y) -> (query_id, vertices) CCW triangles."""
+    verts = F.array(
+        *[
+            F.struct((F.col("x") + F.lit(dx)).alias("x"),
+                     (F.col("y") + F.lit(dy)).alias("y"))
+            for dx, dy in TRI
+        ]
+    )
+    return queries_xy.select("query_id", verts.alias("vertices"))
+
+
+def triangle_pip_oracle_sql(points_sql: str, queries_xy_sql: str) -> str:
+    """Strict-interior half-plane test for the CCW triangle (valid because
+    triangles are convex); matches ray casting except on edges (measure
+    zero for derived-double workloads)."""
+
+    def vert(i: int) -> tuple[str, str]:
+        dx, dy = TRI[i]
+        return (f"(q.x + {dx!r})", f"(q.y + {dy!r})")
+
+    conds = []
+    for i in range(3):
+        ux, uy = vert(i)
+        vx2, vy2 = vert((i + 1) % 3)
+        conds.append(
+            f"(({vx2} - {ux}) * (p.y - {uy}) - ({vy2} - {uy}) * (p.x - {ux})) > 0"
+        )
+    cond = " AND ".join(conds)
+    return f"""
+        SELECT DISTINCT q.query_id, p.id AS doc_id
+        FROM ({points_sql}) p, ({queries_xy_sql}) q
+        WHERE {cond}
+    """

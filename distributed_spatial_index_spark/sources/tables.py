@@ -93,6 +93,37 @@ def range_queries(
     )
 
 
+def knn_queries(
+    spark: SparkSession, sf_dir: str, table: str = "lineitem", ratio: int = QUERY_RATIO
+) -> DataFrame:
+    """Every ``ratio``-th point becomes a kNN query center (FIXTURES.md §4)."""
+    return (
+        geo_points(spark, sf_dir, table)
+        .filter((F.col("id") % ratio) == 3)
+        .select(F.col("id").alias("query_id"), "x", "y")
+    )
+
+
+def knn_queries_sql(table: str = "lineitem", ratio: int = QUERY_RATIO) -> str:
+    return (
+        f"SELECT id AS query_id, x, y FROM ({geo_points_sql(table)}) "
+        f"WHERE id % {ratio} = 3"
+    )
+
+
+def unique_geo_points(
+    spark: SparkSession, sf_dir: str, table: str = "lineitem",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """geo_points deduped by id (x, y, ts are functions of id, so full-row
+    distinct == id-distinct); kNN requires unique doc ids."""
+    return geo_points(spark, sf_dir, table, parallelism).dropDuplicates(["id"])
+
+
+def unique_geo_points_sql(table: str = "lineitem") -> str:
+    return f"SELECT DISTINCT * FROM ({geo_points_sql(table)})"
+
+
 def range_queries_sql(
     table: str = "lineitem", ratio: int = QUERY_RATIO, radius: float = QUERY_RADIUS
 ) -> str:

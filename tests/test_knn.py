@@ -1,0 +1,68 @@
+"""kNN correctness vs exact oracles (FIXTURES.md §4: exact argsort of L2
+distances, ties broken by doc_id)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from distributed_spatial_index_spark.operators.knn import knn, knn_oracle_sql
+from distributed_spatial_index_spark.sources import tables as src
+from tests.conftest import SF_DIR, assert_same_rows
+
+
+def test_knn_vs_numpy_oracle(spark):
+    pts = src.unique_geo_points(spark, SF_DIR, "lineitem")
+    qs = src.knn_queries(spark, SF_DIR, "lineitem").limit(10)
+    k = 5
+    got = knn(pts, qs, k=k)
+
+    p = np.array([(r["id"], r["x"], r["y"]) for r in pts.collect()])
+    rows = []
+    for r in qs.collect():
+        d2 = (p[:, 1] - r["x"]) ** 2 + (p[:, 2] - r["y"]) ** 2
+        order = np.lexsort((p[:, 0], d2))[:k]
+        for rank, j in enumerate(order, 1):
+            rows.append((r["query_id"], rank, int(p[j, 0]), float(d2[j])))
+    a = sorted(tuple(x) for x in got.collect())
+    b = sorted(rows)
+    assert len(a) == len(b) == 10 * k
+    for (qa, ra, da, d2a), (qb, rb, db, d2b) in zip(a, b):
+        assert (qa, ra, da) == (qb, rb, db)
+        assert abs(d2a - d2b) < 1e-6
+
+
+def test_knn_vs_duckdb(spark, ddb):
+    got = knn(
+        src.unique_geo_points(spark, SF_DIR, "lineitem"),
+        src.knn_queries(spark, SF_DIR, "lineitem"),
+        k=5,
+    )
+    rows = ddb.execute(
+        knn_oracle_sql(src.unique_geo_points_sql("lineitem"),
+                       src.knn_queries_sql("lineitem"), k=5)
+    ).fetchall()
+    assert_same_rows(got, rows)
+
+
+def test_knn_k_exceeds_candidates_in_first_ring(spark):
+    """Queries in empty space must keep expanding until k are found."""
+    pts = spark.createDataFrame(
+        [(i, 8000.0 + i * 10.0, 8000.0, 0) for i in range(8)],
+        "id long, x double, y double, ts long",
+    )
+    qs = spark.createDataFrame([(1, 100.0, 100.0)], "query_id long, x double, y double")
+    got = knn(pts, qs, k=3, r0=16.0)
+    rows = sorted(map(tuple, got.collect()))
+    assert [r[2] for r in rows] == [0, 1, 2]  # nearest three by construction
+
+
+def test_knn_tie_break_by_doc_id(spark):
+    pts = spark.createDataFrame(
+        [(5, 110.0, 100.0), (3, 90.0, 100.0), (9, 100.0, 110.0), (1, 100.0, 90.0)],
+        "id long, x double, y double",
+    )
+    qs = spark.createDataFrame([(1, 100.0, 100.0)], "query_id long, x double, y double")
+    got = sorted(map(tuple, knn(pts, qs, k=4).collect()))
+    # all at d2=100 -> rank order must be doc_id order: 1,3,5,9
+    assert [(r[1], r[2]) for r in got] == [(1, 1), (2, 3), (3, 5), (4, 9)]

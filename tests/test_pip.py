@@ -1,0 +1,57 @@
+"""Point-in-polygon join vs exact oracles (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from distributed_spatial_index_spark.operators.pip_join import (
+    pip_join,
+    ray_cast_np,
+    triangle_pip_oracle_sql,
+    triangle_polygons,
+)
+from distributed_spatial_index_spark.sources import tables as src
+from tests.conftest import SF_DIR, assert_same_rows
+
+
+def test_ray_cast_unit():
+    square = np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)])
+    px = np.array([5.0, 15.0, -1.0, 9.999, 5.0])
+    py = np.array([5.0, 5.0, 5.0, 9.999, 15.0])
+    assert ray_cast_np(px, py, square).tolist() == [True, False, False, True, False]
+
+
+def test_ray_cast_concave():
+    # "U" shape: the notch center must be outside
+    u = np.array([(0, 0), (10, 0), (10, 10), (7, 10), (7, 3), (3, 3), (3, 10), (0, 10)],
+                 dtype=float)
+    px = np.array([5.0, 1.5, 8.5, 5.0])
+    py = np.array([6.0, 6.0, 6.0, 1.0])
+    assert ray_cast_np(px, py, u).tolist() == [False, True, True, True]
+
+
+def test_triangle_pip_vs_duckdb(spark, ddb):
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    qxy = src.knn_queries(spark, SF_DIR, "lineitem")
+    got = pip_join(pts, triangle_polygons(qxy))
+    rows = ddb.execute(
+        triangle_pip_oracle_sql(src.geo_points_sql("lineitem"),
+                                src.knn_queries_sql("lineitem"))
+    ).fetchall()
+    assert_same_rows(got, rows)
+    assert got.count() > 0
+
+
+def test_concave_polygon_vs_numpy(spark):
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    u = [(4000.0, 4000.0), (4800.0, 4000.0), (4800.0, 4800.0), (4600.0, 4800.0),
+         (4600.0, 4200.0), (4200.0, 4200.0), (4200.0, 4800.0), (4000.0, 4800.0)]
+    polys = spark.createDataFrame(
+        [(1, [{"x": x, "y": y} for x, y in u])],
+        "query_id long, vertices array<struct<x double, y double>>",
+    )
+    got = sorted(r["doc_id"] for r in pip_join(pts, polys).collect())
+    p = np.array([(r["id"], r["x"], r["y"]) for r in pts.collect()])
+    inside = ray_cast_np(p[:, 1], p[:, 2], np.array(u))
+    expect = sorted(set(int(i) for i in p[inside, 0]))
+    assert got == expect and len(expect) > 0
