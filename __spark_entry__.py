@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from distributed_spatial_index_spark.config import EPSILON
 from distributed_spatial_index_spark.operators.density import (
@@ -36,18 +37,35 @@ from distributed_spatial_index_spark.operators.tiles import (
     tile_counts,
     tile_counts_sql,
 )
+from distributed_spatial_index_spark.config import EPSILON as _EPS
+from distributed_spatial_index_spark.operators.range_join import mbr_range_join
+from distributed_spatial_index_spark.operators.segments import (
+    form_segments,
+    segments_sql,
+)
+from distributed_spatial_index_spark.functions.geometry import rects_intersect_sql
 from distributed_spatial_index_spark.sources import tables as src
+from distributed_spatial_index_spark.sources.spans import extract_geo
+from distributed_spatial_index_spark.sources.synthetic import (
+    interleaved_documents,
+    media_spans_sql,
+)
 
 _GEO_TABLE = "lineitem"  # biggest id-carrying table -> most meaningful checks
+_DOC_RATIO = 15  # documents table is small; denser query sampling
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: distributed spatial range
-    join (cell route -> epsilon refine -> merge)."""
+    """Flagship on /root/testdata/sf0.001: the interleaved-document pipeline
+    (input_hint) — build spans table, extract media-span MBRs, distributed
+    spatial range join (cell route -> epsilon refine -> merge)."""
     sf_dir = "/root/testdata/sf0.001"
-    pts = src.geo_points(spark, sf_dir, _GEO_TABLE)
-    qs = src.range_queries(spark, sf_dir, _GEO_TABLE)
-    return point_range_join(pts, qs)
+    docs = interleaved_documents(spark, sf_dir)
+    mbrs = extract_geo(docs).select(
+        F.col("doc_id").cast("long").alias("id"), "xmin", "ymin", "xmax", "ymax"
+    )
+    qs = src.range_queries(spark, sf_dir, "documents", ratio=_DOC_RATIO)
+    return mbr_range_join(mbrs, qs)
 
 
 # --- queries ---------------------------------------------------------------
@@ -76,6 +94,23 @@ def _q_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return density_grid(src.geo_points(spark, sf_dir, _GEO_TABLE))
 
 
+def _q_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_geo(interleaved_documents(spark, sf_dir))
+
+
+def _q_interleaved_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = interleaved_documents(spark, sf_dir)
+    mbrs = extract_geo(docs).select(
+        F.col("doc_id").cast("long").alias("id"), "xmin", "ymin", "xmax", "ymax"
+    )
+    qs = src.range_queries(spark, sf_dir, "documents", ratio=_DOC_RATIO)
+    return mbr_range_join(mbrs, qs)
+
+
+def _q_segment_former(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return form_segments(src.trajectory_points(spark, sf_dir))
+
+
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn(
         src.unique_geo_points(spark, sf_dir, _GEO_TABLE),
@@ -100,6 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_grid": _q_density_grid,
         "knn": _q_knn,
         "pip_join": _q_pip_join,
+        "span_extract": _q_span_extract,
+        "interleaved_range_join": _q_interleaved_range_join,
+        "segment_former": _q_segment_former,
     }
 
 
@@ -121,4 +159,14 @@ def oracle_sql() -> dict[str, str]:
             src.unique_geo_points_sql(_GEO_TABLE), src.knn_queries_sql(_GEO_TABLE), k=5
         ),
         "pip_join": triangle_pip_oracle_sql(pts, src.knn_queries_sql(_GEO_TABLE)),
+        "span_extract": media_spans_sql("documents"),
+        "interleaved_range_join": f"""
+            SELECT DISTINCT q.query_id, CAST(m.doc_id AS BIGINT) AS doc_id
+            FROM ({media_spans_sql('documents')}) m,
+                 ({src.range_queries_sql('documents', ratio=_DOC_RATIO)}) q
+            WHERE {rects_intersect_sql(
+                ('m.xmin', 'm.ymin', 'm.xmax', 'm.ymax'),
+                ('q.xmin', 'q.ymin', 'q.xmax', 'q.ymax'))}
+        """,
+        "segment_former": segments_sql(src.trajectory_points_sql()),
     }

@@ -124,6 +124,31 @@ def unique_geo_points_sql(table: str = "lineitem") -> str:
     return f"SELECT DISTINCT * FROM ({geo_points_sql(table)})"
 
 
+def trajectory_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tid, seq, ts, x, y) trajectory stream derived from the events table:
+    tid = user_id, ts = event-time epoch millis, geometry from event_id.
+    Stands in for the reference's taxi TSV replay (StreamingJob.java:121)."""
+    ev = load(spark, sf_dir, "events")
+    i = F.col("event_id")
+    return ev.select(
+        F.col("user_id").alias("tid"),
+        i.alias("seq"),
+        # events.ts is TIMESTAMP_NTZ; session TZ is UTC so the cast matches
+        # DuckDB's epoch_ms on the naive timestamp
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
+        gd.derive_x_col(i).alias("x"),
+        gd.derive_y_col(i).alias("y"),
+    )
+
+
+def trajectory_points_sql() -> str:
+    return (
+        "SELECT user_id AS tid, event_id AS seq, epoch_ms(ts) AS ts, "
+        f"{gd.derive_x_sql('event_id')} AS x, {gd.derive_y_sql('event_id')} AS y "
+        "FROM events"
+    )
+
+
 def range_queries_sql(
     table: str = "lineitem", ratio: int = QUERY_RATIO, radius: float = QUERY_RADIUS
 ) -> str:
