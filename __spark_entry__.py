@@ -51,6 +51,14 @@ from distributed_spatial_index_spark.sources.synthetic import (
     media_spans_sql,
 )
 
+from distributed_spatial_index_spark.operators import dedup as _dd
+from distributed_spatial_index_spark.operators import textstats as _ts
+from distributed_spatial_index_spark.operators.simsearch import (
+    cosine_topk,
+    cosine_topk_sql,
+    ivf_topk,
+)
+
 _GEO_TABLE = "lineitem"  # biggest id-carrying table -> most meaningful checks
 _DOC_RATIO = 15  # documents table is small; denser query sampling
 
@@ -138,6 +146,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_extract": _q_span_extract,
         "interleaved_range_join": _q_interleaved_range_join,
         "segment_former": _q_segment_former,
+        # training-data pipeline ops (documents / embeddings tables)
+        "token_count": lambda s, d: _ts.token_count(src.load(s, d, "documents")),
+        "lang_id": lambda s, d: _ts.lang_id(src.load(s, d, "documents")),
+        "quality_score": lambda s, d: _ts.quality_score(src.load(s, d, "documents")),
+        "fingerprint": lambda s, d: _ts.fingerprint(src.load(s, d, "documents")),
+        "dedup_exact": lambda s, d: _dd.dedup_exact(src.load(s, d, "documents")),
+        "ngram_jaccard": lambda s, d: _dd.ngram_jaccard_pairs(
+            src.load(s, d, "documents"), threshold=0.2
+        ),
+        "minhash_lsh": lambda s, d: _dd.minhash_lsh_pairs(
+            src.load(s, d, "documents"), threshold=0.2
+        ),
+        "simhash_dedup": lambda s, d: _dd.simhash_pairs(
+            src.load(s, d, "documents"), max_hamming=4
+        ),
+        "cosine_topk": lambda s, d: cosine_topk(
+            src.load(s, d, "embeddings"), n_queries=16, k=10
+        ),
+        "ivf_topk": lambda s, d: ivf_topk(
+            src.load(s, d, "embeddings"), n_queries=16, k=10, nprobe=16
+        ),
     }
 
 
@@ -169,4 +198,15 @@ def oracle_sql() -> dict[str, str]:
                 ('q.xmin', 'q.ymin', 'q.xmax', 'q.ymax'))}
         """,
         "segment_former": segments_sql(src.trajectory_points_sql()),
+        "token_count": _ts.token_count_sql("documents"),
+        "lang_id": _ts.lang_id_sql("documents"),
+        "quality_score": _ts.quality_score_sql("documents"),
+        "fingerprint": _ts.fingerprint_sql("documents"),
+        "dedup_exact": _dd.dedup_exact_sql("documents"),
+        "ngram_jaccard": _dd.ngram_jaccard_pairs_sql("documents", threshold=0.2),
+        "cosine_topk": cosine_topk_sql("embeddings", 16, 10),
+        # minhash_lsh / simhash_dedup / ivf_topk: JVM-hash / UDF-based —
+        # not SQL-expressible; driver records rows-only (pytest has exact
+        # pandas/NumPy oracles for them, tests/test_dedup.py,
+        # tests/test_simsearch.py)
     }

@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_topk: exact brute-force top-k, the correctness baseline.  Query
+  vectors broadcast; similarity computed in one Arrow-vectorized pandas UDF
+  (np.einsum over the stacked batch — no per-row Python); ranking per query
+  via Window over the (tiny) candidate set.
+- ivf_topk: the scale path — IVF: k-means centroids (driver NumPy on a
+  sample, deterministic), cluster assignment via a broadcast matmul UDF,
+  queries probe the nprobe nearest centroid buckets, exact rerank inside.
+  At 100 TB the doc side shuffles once on the centroid id (bounded buckets),
+  and each query touches nprobe buckets instead of the full table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cos_udf():
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.vstack(a.to_numpy()).astype(np.float64)
+        B = np.vstack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(den > 0, num / den, 0.0)
+        return pd.Series(out)
+
+    return _cos
+
+
+def cosine_topk(
+    emb: DataFrame,
+    n_queries: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """emb(vec_id, embedding) -> (query_id, rank, neighbor_id): exact top-k
+    cosine neighbors for the first ``n_queries`` vectors (self excluded).
+    Scores are intentionally not output: rank order is ULP-stable across
+    engines, raw float sums are not."""
+    cos = _cos_udf()
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cand = (
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cos(F.col("vec"), F.col("qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def cosine_topk_sql(
+    table: str = "embeddings", n_queries: int = 16, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    return f"""
+        SELECT query_id, rank, neighbor_id FROM (
+            SELECT q.{id_col} AS query_id,
+                   p.{id_col} AS neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.{id_col}
+                       ORDER BY list_cosine_similarity(
+                           CAST(p.{vec_col} AS DOUBLE[]),
+                           CAST(q.{vec_col} AS DOUBLE[])) DESC,
+                           p.{id_col}
+                   ) AS INTEGER) AS rank
+            FROM {table} p, {table} q
+            WHERE q.{id_col} < {n_queries} AND p.{id_col} <> q.{id_col}
+        ) WHERE rank <= {k}
+    """
+
+
+# --- IVF (scale path) --------------------------------------------------------
+
+
+def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    """Plain Lloyd's k-means (driver-side, deterministic)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=n_clusters, replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_clusters):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(0)
+    return cent
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 16,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_fraction: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` nearest IVF buckets, exact
+    cosine rerank inside them.  Returns (query_id, rank, neighbor_id)."""
+    spark = emb.sparkSession
+    sample = np.vstack([
+        np.asarray(r[vec_col], dtype=np.float64)
+        for r in emb.select(vec_col).sample(False, sample_fraction, seed=42)
+        .limit(20000).collect()
+    ])
+    cent = _kmeans(sample, n_clusters)
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        c = bc.value
+        d = ((V[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    ret_t = "array<int>"
+
+    @F.pandas_udf(ret_t)
+    def _probes(v: pd.Series) -> pd.Series:
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        c = bc.value
+        d = ((V[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    docs = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    ).withColumn("bucket", _assign(F.col("vec")))
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("bucket", F.explode(_probes(F.col("qvec"))))
+
+    cos = _cos_udf()
+    cand = (
+        docs.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cos(F.col("vec"), F.col("qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
