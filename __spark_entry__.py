@@ -52,6 +52,7 @@ from distributed_spatial_index_spark.sources.synthetic import (
 )
 
 from distributed_spatial_index_spark.operators import dedup as _dd
+from distributed_spatial_index_spark.operators import windows as _win
 from distributed_spatial_index_spark.operators import textstats as _ts
 from distributed_spatial_index_spark.operators.simsearch import (
     cosine_topk,
@@ -167,6 +168,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": lambda s, d: ivf_topk(
             src.load(s, d, "embeddings"), n_queries=16, k=10, nprobe=16
         ),
+        # windowed / relational aggregation shapes (SURVEY.md A1/A2)
+        "windowed_type_counts": lambda s, d: _win.windowed_type_counts(
+            src.load(s, d, "events")
+        ),
+        "sessionize": lambda s, d: _win.sessionize(src.load(s, d, "events")),
+        "lineitem_pricing_summary": lambda s, d: _win.lineitem_pricing_summary(
+            src.load(s, d, "lineitem")
+        ),
     }
 
 
@@ -205,6 +214,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _dd.dedup_exact_sql("documents"),
         "ngram_jaccard": _dd.ngram_jaccard_pairs_sql("documents", threshold=0.2),
         "cosine_topk": cosine_topk_sql("embeddings", 16, 10),
+        "windowed_type_counts": _win.windowed_type_counts_sql(),
+        "sessionize": _win.sessionize_sql(),
+        "lineitem_pricing_summary": _win.lineitem_pricing_summary_sql(),
         # minhash_lsh / simhash_dedup / ivf_topk: JVM-hash / UDF-based —
         # not SQL-expressible; driver records rows-only (pytest has exact
         # pandas/NumPy oracles for them, tests/test_dedup.py,

@@ -17,7 +17,7 @@ import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from distributed_spatial_index_spark.config import DEFAULT_REGION, FINE_BITS, Region
+from distributed_spatial_index_spark.config import DEFAULT_REGION, Region
 
 # ---------------------------------------------------------------------------
 # cell coordinate:  floor((v - lo) / extent * n) clamped to [0, n-1]
@@ -94,7 +94,7 @@ def morton_decode_np(code: np.ndarray, bits: int) -> tuple[np.ndarray, np.ndarra
 
 
 def cell_id_col(
-    x: Column, y: Column, bits: int = FINE_BITS, region: Region = DEFAULT_REGION
+    x: Column, y: Column, bits: int, region: Region = DEFAULT_REGION
 ) -> Column:
     """Morton cell id of a point at the given resolution (Spark, codegen'd)."""
     cx = cell_coord_col(x, region.x_lo, region.width, bits)
@@ -103,7 +103,7 @@ def cell_id_col(
 
 
 def cell_id_np(
-    x: np.ndarray, y: np.ndarray, bits: int = FINE_BITS, region: Region = DEFAULT_REGION
+    x: np.ndarray, y: np.ndarray, bits: int, region: Region = DEFAULT_REGION
 ) -> np.ndarray:
     cx = cell_coord_np(x, region.x_lo, region.width, bits)
     cy = cell_coord_np(y, region.y_lo, region.height, bits)
@@ -111,7 +111,7 @@ def cell_id_np(
 
 
 def cell_id_sql(
-    x: str, y: str, bits: int = FINE_BITS, region: Region = DEFAULT_REGION
+    x: str, y: str, bits: int, region: Region = DEFAULT_REGION
 ) -> str:
     cx = cell_coord_sql(x, region.x_lo, region.width, bits)
     cy = cell_coord_sql(y, region.y_lo, region.height, bits)
@@ -123,7 +123,7 @@ def covering_cells_col(
     ymin: Column,
     xmax: Column,
     ymax: Column,
-    bits: int = FINE_BITS,
+    bits: int,
     region: Region = DEFAULT_REGION,
 ) -> Column:
     """Array of Morton cell ids whose grid cells intersect the rect.

@@ -1,0 +1,139 @@
+"""Structured Streaming spatial range join + stateful segment former.
+
+The reference is a hand-wired Flink streaming topology: tumbling 60 s
+windows at every stage (StreamingJob.java:134...), watermark = max-1 with
+zero lateness (InputItemTimeAndWater.java:15-24), per-TID keyed state for
+segment forming (ToInputItemFlatMap.java:17).  Spark equivalents:
+
+- range join  -> stream-static inner join (doc stream x broadcast query
+  table; stateless, no watermark needed for the join itself) followed by a
+  watermarked tumbling-window count per query — the reference's
+  QueryResultPF merge stage shape;
+- segment former -> applyInPandasWithState keyed by tid, state = last point
+  (always replaced, exactly ToInputItemFlatMap.java:38 semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from distributed_spatial_index_spark.config import (
+    DEFAULT_REGION,
+    EPSILON,
+    JOIN_BITS,
+    MAX_SEGMENT,
+    Region,
+    WINDOW_MS,
+)
+from distributed_spatial_index_spark.functions.cells import cell_id_col
+from distributed_spatial_index_spark.functions.geometry import rect_contains_point
+from distributed_spatial_index_spark.operators.range_join import explode_query_cells
+
+
+def streaming_point_range_join(
+    doc_stream: DataFrame,
+    queries: DataFrame,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+) -> DataFrame:
+    """doc_stream(id, x, y, ts timestamp) x static queries -> per-window
+    per-query match counts (append mode, 60 s tumbling, zero lateness —
+    the reference's window/watermark configuration)."""
+    # watermark on the SOURCE side: every input row advances event time,
+    # matched or not (matches the reference assigning watermarks at the
+    # source, InputItemTimeAndWater.java / StreamingJob.java:125)
+    pts = doc_stream.withWatermark("ts", "0 seconds").withColumn(
+        "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
+    )
+    q = F.broadcast(explode_query_cells(queries, bits, region, eps))
+    matched = pts.join(q, "cell").filter(
+        rect_contains_point(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            F.col("x"), F.col("y"), eps,
+        )
+    )
+    return (
+        matched
+        .groupBy(F.window("ts", f"{WINDOW_MS // 1000} seconds"), "query_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "query_id",
+            "n_matches",
+        )
+    )
+
+
+_SEG_STATE_SCHEMA = "ts long, x double, y double"
+_SEG_OUT_SCHEMA = "tid long, ts long, x1 double, y1 double, x2 double, y2 double"
+
+
+def _segment_state_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-TID: pair consecutive points, always replacing the stored last
+    point; drop stationary/jump segments (ToInputItemFlatMap.java:23-47).
+    Vectorized: a shift over the sorted batch, plus the one seam row carried
+    in state."""
+    import numpy as np
+
+    (tid,) = key
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values(["ts", "seq"])
+    ts = pdf["ts"].to_numpy(dtype=np.int64)
+    xs = pdf["x"].to_numpy(dtype=np.float64)
+    ys = pdf["y"].to_numpy(dtype=np.float64)
+    if state.exists:
+        last_ts, last_x, last_y = state.get
+        ts0 = np.concatenate(([last_ts], ts))
+        xs0 = np.concatenate(([last_x], xs))
+        ys0 = np.concatenate(([last_y], ys))
+    else:
+        ts0, xs0, ys0 = ts, xs, ys
+    if len(ts0) >= 1:
+        state.update((int(ts0[-1]), float(xs0[-1]), float(ys0[-1])))
+    if len(ts0) < 2:
+        yield pd.DataFrame(
+            {"tid": pd.Series([], dtype="int64"),
+             "ts": pd.Series([], dtype="int64"),
+             "x1": pd.Series([], dtype="float64"),
+             "y1": pd.Series([], dtype="float64"),
+             "x2": pd.Series([], dtype="float64"),
+             "y2": pd.Series([], dtype="float64")}
+        )
+        return
+    dx = np.abs(xs0[1:] - xs0[:-1])
+    dy = np.abs(ys0[1:] - ys0[:-1])
+    keep = ~((dx < EPSILON) & (dy < EPSILON)) & ~(
+        (dx > MAX_SEGMENT) | (dy > MAX_SEGMENT)
+    )
+    yield pd.DataFrame(
+        {
+            "tid": np.full(int(keep.sum()), tid, dtype=np.int64),
+            "ts": ts0[1:][keep],
+            "x1": xs0[:-1][keep],
+            "y1": ys0[:-1][keep],
+            "x2": xs0[1:][keep],
+            "y2": ys0[1:][keep],
+        }
+    )
+
+
+def streaming_segment_former(point_stream: DataFrame) -> DataFrame:
+    """point_stream(tid, seq, ts long, x, y) -> segment stream; keyed state
+    holds the last point per tid across micro-batches."""
+    return point_stream.groupBy("tid").applyInPandasWithState(
+        _segment_state_fn,
+        outputStructType=_SEG_OUT_SCHEMA,
+        stateStructType=_SEG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

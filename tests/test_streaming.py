@@ -1,0 +1,130 @@
+"""Structured Streaming parity: micro-batched streams must reproduce the
+batch operators' results exactly."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_spatial_index_spark.config import WINDOW_MS
+from distributed_spatial_index_spark.operators.range_join import point_range_join
+from distributed_spatial_index_spark.operators.segments import form_segments
+from distributed_spatial_index_spark.sources import tables as src
+from distributed_spatial_index_spark.streaming.stream_join import (
+    streaming_point_range_join,
+    streaming_segment_former,
+)
+from tests.conftest import SF_DIR
+
+
+def _run_stream(sdf, name: str):
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_range_join_matches_batch(spark):
+    with tempfile.TemporaryDirectory() as d:
+        pts = src.geo_points(spark, SF_DIR, "lineitem").withColumn(
+            "ts", F.timestamp_millis(F.col("ts"))
+        )
+        # time-ordered micro-batches: the zero-lateness watermark (the
+        # reference's max-1 / no-allowedLateness policy) drops late rows,
+        # so an out-of-order replay would legitimately diverge from batch
+        pdf = pts.orderBy("ts", "id").toPandas()
+        third = len(pdf) // 3
+        for i in range(3):
+            chunk = pdf.iloc[i * third: None if i == 2 else (i + 1) * third]
+            spark.createDataFrame(chunk, schema=pts.schema).coalesce(1).write.mode(
+                "overwrite").parquet(f"{d}/pts/chunk{i}")
+        # two flush batches advance the watermark past the last real window
+        # so append mode emits it (the flush point is off-region: no matches)
+        import datetime
+        for i, hrs in enumerate([2, 3]):
+            flush = spark.createDataFrame(
+                [(-1, -1e6, -1e6,
+                  datetime.datetime(2016, 11, 1) + datetime.timedelta(hours=hrs))],
+                "id long, x double, y double, ts timestamp",
+            ).select("id", "x", "y", "ts")
+            flush.coalesce(1).write.mode("overwrite").parquet(f"{d}/pts/chunk{3 + i}")
+        stream = spark.readStream.schema(pts.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{d}/pts/chunk*/")
+        qs = src.range_queries(spark, SF_DIR, "lineitem")
+
+        _run_stream(streaming_point_range_join(stream, qs), "srj")
+        got = {
+            (r["win_start"], r["query_id"]): r["n_matches"]
+            for r in spark.sql("SELECT * FROM srj").collect()
+        }
+
+        # batch twin of the stream plan: same join, same windowed count
+        # (raw matched rows, not deduped pairs — the stream counts matches)
+        from distributed_spatial_index_spark.functions.cells import cell_id_col
+        from distributed_spatial_index_spark.functions.geometry import (
+            rect_contains_point,
+        )
+        from distributed_spatial_index_spark.operators.range_join import (
+            explode_query_cells,
+        )
+
+        bpts = src.geo_points(spark, SF_DIR, "lineitem").withColumn(
+            "ts", F.timestamp_millis(F.col("ts"))
+        ).withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits=10))
+        batch = (
+            bpts.join(F.broadcast(explode_query_cells(qs)), "cell")
+            .filter(rect_contains_point(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+                F.col("x"), F.col("y")))
+            .groupBy(
+                F.window("ts", f"{WINDOW_MS // 1000} seconds").alias("window"),
+                "query_id")
+            .agg(F.count(F.lit(1)).alias("n_matches"))
+            .select(F.col("window.start").alias("win_start"), "query_id",
+                    "n_matches")
+        )
+        expect = {
+            (r["win_start"], r["query_id"]): r["n_matches"] for r in batch.collect()
+        }
+        assert got == expect and len(got) > 0
+
+
+def test_streaming_segment_former_matches_batch(spark):
+    with tempfile.TemporaryDirectory() as d:
+        traj = src.trajectory_points(spark, SF_DIR)
+        # order files by time so micro-batches arrive in event order per tid
+        traj.withColumn("bucket", (F.col("seq") % 3))
+        # split into 3 time-ordered files
+        rows = traj.orderBy("ts", "seq")
+        rows.coalesce(1).write.mode("overwrite").parquet(f"{d}/all")
+        full = spark.read.parquet(f"{d}/all")
+        n = full.count()
+        third = n // 3
+        import pandas as pd
+        pdf = full.orderBy("ts", "seq").toPandas()
+        os.makedirs(f"{d}/stream", exist_ok=True)
+        for i in range(3):
+            chunk = pdf.iloc[i * third: None if i == 2 else (i + 1) * third]
+            spark.createDataFrame(chunk, schema=full.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/chunk{i}")
+        # stream chunks in order
+        stream = spark.readStream.schema(full.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{d}/chunk*/")
+
+        _run_stream(streaming_segment_former(stream), "sseg")
+        got = sorted(
+            map(tuple, spark.sql(
+                "SELECT tid, ts, x1, y1, x2, y2 FROM sseg").collect())
+        )
+        expect = sorted(map(tuple, form_segments(traj).collect()))
+        assert got == expect and len(got) > 0
