@@ -68,3 +68,26 @@ def dist2(ax: Column, ay: Column, bx: Column, by: Column) -> Column:
     dx = ax - bx
     dy = ay - by
     return dx * dx + dy * dy
+
+
+# Web-Mercator sphere radius (the standard EPSG:3857 constant).
+_MERCATOR_R = 6378137.0
+
+
+def mercator_xy(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """lon/lat degrees -> Web-Mercator meters, as column expressions (the
+    vectorized replacement for the reference's per-point projection,
+    ClassMct.java:38-99)."""
+    x = F.radians(lon) * F.lit(_MERCATOR_R)
+    y = F.log(F.tan(F.lit(3.141592653589793 / 4.0) + F.radians(lat) / F.lit(2.0))) * F.lit(
+        _MERCATOR_R
+    )
+    return x, y
+
+
+def mercator_xy_np(lon, lat):
+    import numpy as np
+
+    x = np.radians(lon) * _MERCATOR_R
+    y = np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0)) * _MERCATOR_R
+    return x, y

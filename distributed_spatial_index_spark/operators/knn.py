@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 
 from distributed_spatial_index_spark.config import (
     DEFAULT_REGION,
-    JOIN_BITS,
     Region,
 )
 from distributed_spatial_index_spark.functions.cells import (
@@ -41,10 +40,14 @@ def knn(
     r0: float = 32.0,
     growth: float = 4.0,
     max_rounds: int = 8,
-    bits: int = JOIN_BITS,
+    bits: int = 7,
     region: Region = DEFAULT_REGION,
 ) -> DataFrame:
     """points(id, x, y) ⋈ queries(query_id, x, y) → k nearest points.
+
+    Routing uses a coarser grid than the range join on purpose: the ring
+    boxes are ~2 cells wide at bits=7, so the per-round broadcast stays
+    small and the extra candidates are cheap JVM predicate evals.
 
     Returns (query_id, rank, doc_id, d2); rank 1..k ordered by squared L2
     distance then doc_id.  ``points`` must be unique by id (dedupe upstream
@@ -57,12 +60,13 @@ def knn(
     pts = pts.persist()
 
     remaining = queries.select("query_id", F.col("x").alias("qx"), F.col("y").alias("qy"))
-    out: DataFrame | None = None
+    rounds: list[DataFrame] = []
     r = float(r0)
     d2 = dist2(F.col("px"), F.col("py"), F.col("qx"), F.col("qy"))
     w = Window.partitionBy("query_id").orderBy("d2", "doc_id")
+    wc = Window.partitionBy("query_id")
 
-    for round_no in range(max_rounds):
+    for _round in range(max_rounds):
         qcells = remaining.withColumn(
             "cell",
             F.explode(
@@ -79,29 +83,28 @@ def knn(
             .filter(F.col("d2") <= F.lit(r * r))
             .select("query_id", F.col("id").alias("doc_id"), "d2")
         )
-        counts = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
-        settled = counts.filter(F.col("n") >= k).select("query_id").persist()
-        n_settled = settled.count()
-        if n_settled > 0:
-            topk = (
-                cand.join(F.broadcast(settled), "query_id")
-                .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "rank", "doc_id", "d2")
-            )
-            out = topk if out is None else out.unionByName(topk)
-            # materialize before re-deriving `remaining` so later rounds
-            # don't recompute this round's join
-            out = out.persist()
-            out.count()
-            remaining = remaining.join(settled, "query_id", "left_anti").persist()
+        # one shuffle: the count-over-partition and the rank share the
+        # query_id partitioning; settled queries emit their top-k directly
+        scored = (
+            cand.withColumn("cnt", F.count(F.lit(1)).over(wc))
+            .filter(F.col("cnt") >= k)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "d2")
+            .persist()
+        )
+        scored.count()  # materialize this round
+        rounds.append(scored)
+        remaining = remaining.join(
+            scored.select("query_id").distinct(), "query_id", "left_anti"
+        ).persist()
         if remaining.isEmpty():
             break
         r *= growth
     else:
         # max_rounds exhausted: brute-force the stragglers (tiny by now)
         if not remaining.isEmpty():
-            cand = (
+            rounds.append(
                 pts.crossJoin(F.broadcast(remaining))
                 .withColumn("d2", d2)
                 .select("query_id", F.col("id").alias("doc_id"), "d2")
@@ -109,7 +112,10 @@ def knn(
                 .filter(F.col("rank") <= k)
                 .select("query_id", "rank", "doc_id", "d2")
             )
-            out = cand if out is None else out.unionByName(cand)
+
+    out: DataFrame | None = None
+    for rdf in rounds:
+        out = rdf if out is None else out.unionByName(rdf)
 
     pts.unpersist()
     if out is None:

@@ -85,27 +85,54 @@ def pip_join(
                 bits=bits, region=region,
             )),
         )
-        .select("query_id", "cell")
+        .select("query_id", "cell", "xmin", "ymin", "xmax", "ymax")
     )
 
     pts = points.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
-    cand = pts.join(F.broadcast(qcells), "cell").select(
-        "query_id", F.col("id").alias("doc_id"), "x", "y"
+    # JVM-side bbox prefilter cuts the Arrow transfer into the Python
+    # refine to points that can possibly be inside the polygon
+    cand = (
+        pts.join(F.broadcast(qcells), "cell")
+        .filter(
+            (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
+            & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax"))
+        )
+        .select("query_id", F.col("id").alias("doc_id"), "x", "y")
     )
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized across the WHOLE batch, not per query: polygons are
+        # padded to a [Q, maxV, 2] tensor once, rows gather their polygon by
+        # query index, and the even-odd rule runs as maxV (<= a dozen)
+        # NumPy passes over the full batch.
         polys_local = bc.value
+        qids_sorted = sorted(polys_local)
+        qindex = {q: i for i, q in enumerate(qids_sorted)}
+        nv = np.array([len(polys_local[q]) for q in qids_sorted])
+        maxv = int(nv.max()) if len(nv) else 0
+        verts = np.zeros((len(qids_sorted), maxv, 2))
+        for i, q in enumerate(qids_sorted):
+            verts[i, : nv[i]] = polys_local[q]
         for pdf in batches:
             if pdf.empty:
                 continue
-            keep = np.zeros(len(pdf), dtype=bool)
             px = pdf["x"].to_numpy()
             py = pdf["y"].to_numpy()
-            qid = pdf["query_id"].to_numpy()
-            for q in np.unique(qid):
-                m = qid == q
-                keep[m] = ray_cast_np(px[m], py[m], polys_local[q])
-            yield pdf.loc[keep, ["query_id", "doc_id"]]
+            qi = np.array([qindex[q] for q in pdf["query_id"].to_numpy()])
+            n_edges = nv[qi]
+            inside = np.zeros(len(pdf), dtype=bool)
+            for i in range(maxv):
+                active = i < n_edges
+                j = np.where(i + 1 < n_edges, i + 1, 0)  # wrap per-row
+                x1 = verts[qi, i, 0]
+                y1 = verts[qi, i, 1]
+                x2 = verts[qi, j, 0]
+                y2 = verts[qi, j, 1]
+                crosses = active & ((y1 > py) != (y2 > py))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                inside ^= crosses & (px < xint)
+            yield pdf.loc[inside, ["query_id", "doc_id"]]
 
     return (
         cand.mapInPandas(refine, schema="query_id long, doc_id long")

@@ -194,6 +194,66 @@ def _rle_from_leaves(
     return {"run_starts": run_starts, "run_pids": pid_by_code[run_starts]}
 
 
+# --- STR sample-based partitioner (reference I12, the Xie frame) ------------
+
+
+def build_str_index(
+    sample_xy: np.ndarray, num_partitions: int, bits: int,
+    region_width: float, region_height: float,
+    x_lo: float = 0.0, y_lo: float = 0.0,
+) -> GridIndex:
+    """Sort-Tile-Recursive packing of a coordinate sample into P rectangles
+    (STRTree.java:17-62: sort by y, slice into sqrt(P) rows, sort each row by
+    x, slice into columns), then snapped to the fine grid and published as
+    the same sorted-cell-range index as the adaptive builder.
+
+    A static alternative to build_grid_index: one driver-side sample instead
+    of a density aggregate; no rebalancing.
+    """
+    import math
+
+    n = 1 << bits
+    p_rows = max(int(math.floor(math.sqrt(num_partitions))), 1)
+    p_cols = int(math.ceil(num_partitions / p_rows))
+
+    ys = np.sort(sample_xy[:, 1])
+    # row boundaries in grid-cell coordinates (snap so leaves tile exactly)
+    row_edges = [0]
+    for i in range(1, p_rows):
+        cut = ys[int(len(ys) * i / p_rows)]
+        cell = int(np.clip(np.floor((cut - y_lo) / region_height * n), 1, n - 1))
+        row_edges.append(max(cell, row_edges[-1] + 1) if row_edges[-1] + 1 < n else n - 1)
+    row_edges.append(n)
+
+    leaves: list[Leaf] = []
+    leaf_pid: list[int] = []
+    pid = 0
+    for ri in range(p_rows):
+        y0, y1 = row_edges[ri], row_edges[ri + 1]
+        in_row = sample_xy[
+            (sample_xy[:, 1] >= y_lo + y0 / n * region_height)
+            & (sample_xy[:, 1] < y_lo + y1 / n * region_height)
+        ]
+        xs = np.sort(in_row[:, 0]) if len(in_row) else np.array([x_lo])
+        cols = p_cols if ri < p_rows - 1 else num_partitions - pid
+        col_edges = [0]
+        for i in range(1, cols):
+            cut = xs[int(len(xs) * i / cols)] if len(xs) else x_lo
+            cell = int(np.clip(np.floor((cut - x_lo) / region_width * n), 1, n - 1))
+            col_edges.append(max(cell, col_edges[-1] + 1) if col_edges[-1] + 1 < n else n - 1)
+        col_edges.append(n)
+        for ci in range(len(col_edges) - 1):
+            leaves.append(Leaf(col_edges[ci], y0, col_edges[ci + 1], y1, 0))
+            leaf_pid.append(pid)
+            pid += 1
+    return GridIndex(
+        bits=bits,
+        leaves=leaves,
+        num_partitions=num_partitions,
+        **_rle_from_leaves(leaves, np.array(leaf_pid), bits),
+    )
+
+
 # --- min-migration partition-id stability (reference I4) --------------------
 
 

@@ -47,12 +47,23 @@ def _fmt5(c: Column) -> Column:
     return F.format_string("%.5f", c)
 
 
+SEG_HALF = 50.0  # max |offset| of a segment's second endpoint (local
+                 # segments, like the reference's maxSegment=400 bound)
+
+
 def _media_ref(sid: Column) -> Column:
-    x = _fmt5(gd.derive_x_col(sid))
-    y = _fmt5(gd.derive_y_col(sid))
+    xc = gd.derive_x_col(sid)
+    yc = gd.derive_y_col(sid)
+    x = _fmt5(xc)
+    y = _fmt5(yc)
     sid2 = sid + F.lit(SEG_OFFSET)
-    x2 = _fmt5(gd.derive_x_col(sid2))
-    y2 = _fmt5(gd.derive_y_col(sid2))
+    # second endpoint = first + a small deterministic offset in
+    # [-SEG_HALF, SEG_HALF): segments stay local, so their MBRs cover a
+    # bounded number of routing cells
+    ux2 = ((sid2 * F.lit(gd.A_X) + F.lit(gd.C_X)) % F.lit(gd.M)) / F.lit(gd.M)
+    uy2 = ((sid2 * F.lit(gd.A_Y) + F.lit(gd.C_Y)) % F.lit(gd.M)) / F.lit(gd.M)
+    x2 = _fmt5(xc + (ux2 * F.lit(2 * SEG_HALF) - F.lit(SEG_HALF)))
+    y2 = _fmt5(yc + (uy2 * F.lit(2 * SEG_HALF) - F.lit(SEG_HALF)))
     return F.when(
         sid % SEG_MOD == 0,
         F.concat(F.lit("geo:"), x, F.lit(","), y, F.lit(","), x2, F.lit(","), y2),
@@ -103,8 +114,12 @@ def media_spans_sql(table: str = "documents") -> str:
         return f"CAST(printf('%.5f', {expr}) AS DOUBLE)"
 
     x, y = rt(gd.derive_x_sql(sid)), rt(gd.derive_y_sql(sid))
-    x2 = f"(CASE WHEN {sid} % {SEG_MOD} = 0 THEN {rt(gd.derive_x_sql(sid2))} ELSE {x} END)"
-    y2 = f"(CASE WHEN {sid} % {SEG_MOD} = 0 THEN {rt(gd.derive_y_sql(sid2))} ELSE {y} END)"
+    ux2 = f"(((({sid2}) * {gd.A_X} + {gd.C_X}) % {gd.M}) / {gd.M})"
+    uy2 = f"(((({sid2}) * {gd.A_Y} + {gd.C_Y}) % {gd.M}) / {gd.M})"
+    x2raw = f"({gd.derive_x_sql(sid)} + ({ux2} * {2 * SEG_HALF!r} - {SEG_HALF!r}))"
+    y2raw = f"({gd.derive_y_sql(sid)} + ({uy2} * {2 * SEG_HALF!r} - {SEG_HALF!r}))"
+    x2 = f"(CASE WHEN {sid} % {SEG_MOD} = 0 THEN {rt(x2raw)} ELSE {x} END)"
+    y2 = f"(CASE WHEN {sid} % {SEG_MOD} = 0 THEN {rt(y2raw)} ELSE {y} END)"
     return f"""
         SELECT CAST(d AS VARCHAR) AS doc_id,
                CAST(j AS INT) AS offset,

@@ -1,0 +1,103 @@
+"""spark-submit entry point for the full spatial pipeline.
+
+Usage (local sandbox):
+    spark-submit --py-files engine.zip jobs/run_pipeline.py \
+        --data /root/testdata/sf0.01 --out /tmp/dsi_out
+
+    # build engine.zip:
+    #   cd /root/repo && zip -qr engine.zip distributed_spatial_index_spark
+
+On a cluster, drop the master override (let spark-submit decide) and point
+--out at object storage; the checkpoint layer gives resume-on-rerun.
+
+Pipeline: interleaved documents -> media-span MBR extraction -> density ->
+two-level grid partition map -> spatial range join + tile assignment ->
+results + metrics + per-partition lineage tables under --out, every stage a
+resumable checkpoint step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="/tmp/dsi_out")
+    ap.add_argument("--partitions", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    builder = SparkSession.builder.appName("dsi-pipeline")
+    if not os.environ.get("SPARK_SUBMIT_DEPLOY"):  # sandbox default
+        builder = builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+    spark = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from distributed_spatial_index_spark.operators.density import (
+        density_grid,
+        density_matrix,
+    )
+    from distributed_spatial_index_spark.operators.range_join import mbr_range_join
+    from distributed_spatial_index_spark.operators.tiles import assign_tiles
+    from distributed_spatial_index_spark.plans.grid import build_grid_index
+    from distributed_spatial_index_spark.plans.partitioning import grid_repartition
+    from distributed_spatial_index_spark.sources import tables as src
+    from distributed_spatial_index_spark.sources.checkpoint import Checkpointer
+    from distributed_spatial_index_spark.sources.spans import extract_geo
+    from distributed_spatial_index_spark.sources.synthetic import (
+        interleaved_documents,
+    )
+
+    ck = Checkpointer(spark, args.out)
+
+    docs = ck.step(
+        "interleaved_docs", lambda: interleaved_documents(spark, args.data)
+    )
+    geo = ck.step("span_geo", lambda: extract_geo(docs), lineage_key="offset")
+
+    # density -> two-level grid -> co-located layout
+    centers = geo.select(
+        F.col("doc_id").cast("long").alias("id"),
+        ((F.col("xmin") + F.col("xmax")) / 2).alias("x"),
+        ((F.col("ymin") + F.col("ymax")) / 2).alias("y"),
+    )
+    dens = density_grid(centers, bits=7)
+    grid = build_grid_index(density_matrix(dens, bits=7), args.partitions, bits=7)
+    placed = ck.step(
+        "placed", lambda: grid_repartition(centers, grid), lineage_key="pid"
+    )
+
+    qs = src.range_queries(spark, args.data, "documents", ratio=15)
+    joined = ck.step(
+        "range_join",
+        lambda: mbr_range_join(
+            geo.select(F.col("doc_id").cast("long").alias("id"),
+                       "xmin", "ymin", "xmax", "ymax"),
+            qs,
+        ),
+        lineage_key="query_id",
+    )
+    tiles = ck.step(
+        "tiles", lambda: assign_tiles(centers), lineage_key="tile_id"
+    )
+
+    print("range_join rows:", joined.count())
+    print("tile rows:", tiles.count())
+    print("metrics:")
+    ck.metrics().orderBy("seq").show(50, truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
