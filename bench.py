@@ -25,7 +25,76 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def scaling_mode() -> None:
+    """Two-cluster-size protocol (BASELINE.md): the same spatial-join +
+    tile-assignment job on the same input at N and 4N cores (default 4/16 so
+    the 4N run keeps headroom below the host's 32 shared vCPUs), best-of-3,
+    efficiency = (tN/t4N)/4.  Input: the deterministic x8 fan-out of the
+    sf table (4.8M docs at sf0.1) so the parallel fraction dominates."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from distributed_spatial_index_spark.operators.range_join import (
+        point_range_join,
+    )
+    from distributed_spatial_index_spark.operators.tiles import assign_tiles
+    from distributed_spatial_index_spark.sources import tables as src
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+    scale = int(os.environ.get("SPARK_GRAFT_SCALING_SCALE", "8"))
+    out = {n_small: float("inf"), n_small * 4: float("inf")}
+    n_docs = 0
+    # Interleave the two levels across rounds and keep each level's MINIMUM:
+    # this sandbox is a shared microVM whose available CPU swings several-x
+    # on a minutes timescale, so the min is the only estimator that
+    # approaches the machine's actual capability at each parallelism.
+    for _round in range(rounds):
+        for cpus in (n_small, n_small * 4):
+            # AQE off here: its per-stage driver re-planning is pure serial
+            # time in a measurement designed to expose the parallel fraction
+            spark = get_spark(app_name="dsi-scaling", cores=cpus,
+                              shuffle_partitions=cpus,
+                              extra_conf={"spark.sql.adaptive.enabled": "false"})
+            pts = src.scaled_geo_points(
+                spark, sf_dir, "lineitem", scale=scale, parallelism=cpus * 2
+            ).persist()
+            qs = pts.filter((F.col("id") % (150 * scale)) == 123).select(
+                F.col("id").alias("query_id"),
+                (F.col("x") - 20.0).alias("xmin"), (F.col("y") - 20.0).alias("ymin"),
+                (F.col("x") + 20.0).alias("xmax"), (F.col("y") + 20.0).alias("ymax"),
+            ).persist()
+            n_docs = pts.count()
+            qs.count()
+            # bits=9 routing: ~3x smaller query-cell broadcast (serial
+            # driver time) for ~1.4x more candidates (parallel work)
+            _materialize(point_range_join(pts, qs, bits=9))  # warm
+            for _ in range(2):
+                t0 = _time.perf_counter()
+                _materialize(point_range_join(pts, qs, bits=9))
+                _materialize(assign_tiles(pts))
+                out[cpus] = min(out[cpus], _time.perf_counter() - t0)
+            spark.stop()
+    t_n, t_4n = out[n_small], out[n_small * 4]
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round((t_n / t_4n) / 4, 4),
+        "unit": "ratio",
+        "queries": {f"core_t{n_small}": round(t_n, 3),
+                    f"core_t{n_small * 4}": round(t_4n, 3)},
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "n_docs": n_docs,
+        "docs_per_sec_n": round(n_docs / t_n, 1),
+        "docs_per_sec_4n": round(n_docs / t_4n, 1),
+    }))
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_SCALING"):
+        scaling_mode()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0

@@ -93,6 +93,36 @@ def range_queries(
     )
 
 
+def scaled_geo_points(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "lineitem",
+    scale: int = 8,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """geo_points with a deterministic fan-out: every input row derives
+    ``scale`` points (id = base_id * scale + j).  Used by the bench to reach
+    a data size where the parallel fraction dominates scheduling overhead —
+    the 10^12-doc design point scaled down, not up-sampled randomness."""
+    id_col = _ID_COL[table]()
+    raw = load(spark, sf_dir, table).select(id_col.alias("base_id"))
+    if parallelism:
+        raw = raw.repartition(parallelism)
+    ids = raw.select(
+        F.explode(
+            F.sequence(
+                F.col("base_id") * scale, F.col("base_id") * scale + (scale - 1)
+            )
+        ).alias("id")
+    )
+    return ids.select(
+        "id",
+        gd.derive_x_col(F.col("id")).alias("x"),
+        gd.derive_y_col(F.col("id")).alias("y"),
+        gd.derive_ts_col(F.col("id")).alias("ts"),
+    )
+
+
 def knn_queries(
     spark: SparkSession, sf_dir: str, table: str = "lineitem", ratio: int = QUERY_RATIO
 ) -> DataFrame:
