@@ -120,6 +120,25 @@ def _q_segment_former(spark: SparkSession, sf_dir: str) -> DataFrame:
     return form_segments(src.trajectory_points(spark, sf_dir))
 
 
+def _q_local_index_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_spatial_index_spark.operators.density import (
+        density_grid,
+        density_matrix,
+    )
+    from distributed_spatial_index_spark.operators.local_index import (
+        local_index_range_join,
+    )
+    from distributed_spatial_index_spark.plans.grid import build_grid_index
+
+    pts = src.geo_points(spark, sf_dir, _GEO_TABLE)
+    grid = build_grid_index(
+        density_matrix(density_grid(pts, bits=6), bits=6), 8, bits=6
+    )
+    return local_index_range_join(
+        pts, src.range_queries(spark, sf_dir, _GEO_TABLE), grid
+    )
+
+
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn(
         src.unique_geo_points(spark, sf_dir, _GEO_TABLE),
@@ -142,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assignment": _q_tile_assignment,
         "tile_counts": _q_tile_counts,
         "density_grid": _q_density_grid,
+        "local_index_range_join": _q_local_index_range_join,
         "knn": _q_knn,
         "pip_join": _q_pip_join,
         "span_extract": _q_span_extract,
@@ -184,6 +204,14 @@ def oracle_sql() -> dict[str, str]:
     qs = src.range_queries_sql(_GEO_TABLE)
     return {
         "range_join": f"""
+            SELECT DISTINCT q.query_id, p.id AS doc_id
+            FROM ({pts}) p, ({qs}) q
+            WHERE p.x >= q.xmin - {EPSILON!r} AND p.x <= q.xmax + {EPSILON!r}
+              AND p.y >= q.ymin - {EPSILON!r} AND p.y <= q.ymax + {EPSILON!r}
+        """,
+        # same semantics, alternative physical strategy (grid co-location +
+        # per-partition local index) -> same oracle
+        "local_index_range_join": f"""
             SELECT DISTINCT q.query_id, p.id AS doc_id
             FROM ({pts}) p, ({qs}) q
             WHERE p.x >= q.xmin - {EPSILON!r} AND p.x <= q.xmax + {EPSILON!r}
