@@ -120,6 +120,17 @@ def _q_segment_former(spark: SparkSession, sf_dir: str) -> DataFrame:
     return form_segments(src.trajectory_points(spark, sf_dir))
 
 
+def _q_multires_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_spatial_index_spark.operators.range_join import (
+        multires_range_join,
+    )
+
+    return multires_range_join(
+        src.geo_points(spark, sf_dir, _GEO_TABLE),
+        src.mixed_range_queries(spark, sf_dir, _GEO_TABLE),
+    )
+
+
 def _q_local_index_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_spatial_index_spark.operators.density import (
         density_grid,
@@ -162,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts": _q_tile_counts,
         "density_grid": _q_density_grid,
         "local_index_range_join": _q_local_index_range_join,
+        "multires_range_join": _q_multires_range_join,
         "knn": _q_knn,
         "pip_join": _q_pip_join,
         "span_extract": _q_span_extract,
@@ -206,6 +218,13 @@ def oracle_sql() -> dict[str, str]:
         "range_join": f"""
             SELECT DISTINCT q.query_id, p.id AS doc_id
             FROM ({pts}) p, ({qs}) q
+            WHERE p.x >= q.xmin - {EPSILON!r} AND p.x <= q.xmax + {EPSILON!r}
+              AND p.y >= q.ymin - {EPSILON!r} AND p.y <= q.ymax + {EPSILON!r}
+        """,
+        "multires_range_join": f"""
+            SELECT DISTINCT q.query_id, p.id AS doc_id
+            FROM ({pts}) p,
+                 ({src.mixed_range_queries_sql(_GEO_TABLE)}) q
             WHERE p.x >= q.xmin - {EPSILON!r} AND p.x <= q.xmax + {EPSILON!r}
               AND p.y >= q.ymin - {EPSILON!r} AND p.y <= q.ymax + {EPSILON!r}
         """,

@@ -109,6 +109,35 @@ def point_range_join(
     )
 
 
+def multires_range_join(
+    points: DataFrame,
+    queries: DataFrame,
+    fine_bits: int = JOIN_BITS,
+    coarse_bits: int = 6,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+    size_threshold: float | None = None,
+) -> DataFrame:
+    """Two-level routing for mixed query sizes: small rects route at the
+    fine resolution (tight candidate pruning), large rects at the coarse one
+    (a region-size rect would otherwise explode into ~4^fine_bits covering
+    cells).  This is the query-side use of the engine's two-level grid —
+    the reference's analog is the GTree answering both leaf-sized and
+    multi-leaf queries from one hierarchy (GTree.java:395-407).
+    """
+    if size_threshold is None:
+        size_threshold = 8.0 * region.width / (1 << fine_bits)
+    w = F.col("xmax") - F.col("xmin")
+    h = F.col("ymax") - F.col("ymin")
+    is_small = (w <= F.lit(size_threshold)) & (h <= F.lit(size_threshold))
+    small = queries.filter(is_small)
+    large = queries.filter(~is_small)
+    j_small = point_range_join(points, small, bits=fine_bits, region=region, eps=eps)
+    j_large = point_range_join(points, large, bits=coarse_bits, region=region, eps=eps)
+    # the two query subsets are disjoint, so the union needs no extra dedup
+    return j_small.unionByName(j_large)
+
+
 def mbr_range_join(
     docs: DataFrame,
     queries: DataFrame,

@@ -123,6 +123,41 @@ def scaled_geo_points(
     )
 
 
+def mixed_range_queries(
+    spark: SparkSession, sf_dir: str, table: str = "lineitem",
+    ratio: int = QUERY_RATIO, big_radius: float = 500.0,
+) -> DataFrame:
+    """range_queries with every 7th query blown up to a big rect — the mixed
+    workload for the two-level (multi-resolution) router."""
+    pts = geo_points(spark, sf_dir, table).filter((F.col("id") % ratio) == 3)
+    # multiplicative-hash selector: ~1/7 of queries are big regardless of
+    # the id residue structure of the source table
+    r = F.when(
+        (F.col("id") * F.lit(2654435761) % F.lit(7)) == 0, F.lit(big_radius)
+    ).otherwise(F.lit(QUERY_RADIUS))
+    return pts.select(
+        F.col("id").alias("query_id"),
+        (F.col("x") - r).alias("xmin"),
+        (F.col("y") - r).alias("ymin"),
+        (F.col("x") + r).alias("xmax"),
+        (F.col("y") + r).alias("ymax"),
+    )
+
+
+def mixed_range_queries_sql(
+    table: str = "lineitem", ratio: int = QUERY_RATIO, big_radius: float = 500.0
+) -> str:
+    r = (
+        f"(CASE WHEN (CAST(id AS BIGINT) * 2654435761) % 7 = 0 "
+        f"THEN {big_radius!r} ELSE {QUERY_RADIUS!r} END)"
+    )
+    return (
+        f"SELECT id AS query_id, x - {r} AS xmin, y - {r} AS ymin, "
+        f"x + {r} AS xmax, y + {r} AS ymax "
+        f"FROM ({geo_points_sql(table)}) WHERE id % {ratio} = 3"
+    )
+
+
 def knn_queries(
     spark: SparkSession, sf_dir: str, table: str = "lineitem", ratio: int = QUERY_RATIO
 ) -> DataFrame:

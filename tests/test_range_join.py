@@ -101,6 +101,33 @@ def test_mbr_range_join_vs_crossjoin_oracle(spark):
     assert a == b and len(a) > 0
 
 
+def test_multires_join_vs_duckdb(spark, ddb):
+    from distributed_spatial_index_spark.operators.range_join import (
+        multires_range_join,
+    )
+
+    got = multires_range_join(
+        src.geo_points(spark, SF_DIR, "lineitem"),
+        src.mixed_range_queries(spark, SF_DIR, "lineitem"),
+    )
+    rows = ddb.execute(
+        f"""
+        SELECT DISTINCT q.query_id, p.id AS doc_id
+        FROM ({src.geo_points_sql('lineitem')}) p,
+             ({src.mixed_range_queries_sql('lineitem')}) q
+        WHERE p.x >= q.xmin - {EPSILON!r} AND p.x <= q.xmax + {EPSILON!r}
+          AND p.y >= q.ymin - {EPSILON!r} AND p.y <= q.ymax + {EPSILON!r}
+        """
+    ).fetchall()
+    assert_same_rows(got, rows)
+    # the mixed workload must actually exercise both levels
+    qs = src.mixed_range_queries(spark, SF_DIR, "lineitem")
+    thr = 8.0 * 8626.0 / (1 << 10)
+    n_small = qs.filter((F.col("xmax") - F.col("xmin")) <= thr).count()
+    n_large = qs.filter((F.col("xmax") - F.col("xmin")) > thr).count()
+    assert n_small > 0 and n_large > 0
+
+
 def test_horizon_filter(spark):
     """Logical sliding window: only docs within the horizon are indexed
     (LocalTreePF.java:69)."""
