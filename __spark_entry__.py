@@ -36,6 +36,8 @@ from distributed_spatial_index_spark.operators.tiles import (
     assign_tiles_sql,
     tile_counts,
     tile_counts_sql,
+    tile_pyramid,
+    tile_pyramid_sql,
 )
 from distributed_spatial_index_spark.config import EPSILON as _EPS
 from distributed_spatial_index_spark.operators.range_join import mbr_range_join
@@ -171,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_gen": _q_query_gen,
         "tile_assignment": _q_tile_assignment,
         "tile_counts": _q_tile_counts,
+        "tile_pyramid": lambda s, d: tile_pyramid(src.geo_points(s, d, _GEO_TABLE)),
         "density_grid": _q_density_grid,
         "local_index_range_join": _q_local_index_range_join,
         "multires_range_join": _q_multires_range_join,
@@ -239,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "query_gen": qs,
         "tile_assignment": assign_tiles_sql(pts),
         "tile_counts": tile_counts_sql(pts),
+        "tile_pyramid": tile_pyramid_sql(pts),
         "density_grid": density_grid_sql(pts),
         "knn": knn_oracle_sql(
             src.unique_geo_points_sql(_GEO_TABLE), src.knn_queries_sql(_GEO_TABLE), k=5
