@@ -57,6 +57,24 @@ def test_knn_k_exceeds_candidates_in_first_ring(spark):
     assert [r[2] for r in rows] == [0, 1, 2]  # nearest three by construction
 
 
+def test_knn_k_values_1_and_32(spark):
+    """FIXTURES.md §4: k in {1, 5, 32}; k=32 forces multi-round expansion at
+    sf0.001 densities."""
+    pts = src.unique_geo_points(spark, SF_DIR, "lineitem")
+    qs = src.knn_queries(spark, SF_DIR, "lineitem").limit(6)
+    p = np.array([(r["id"], r["x"], r["y"]) for r in pts.collect()])
+    for k in (1, 32):
+        got = sorted(map(tuple, knn(pts, qs, k=k).collect()))
+        expect = []
+        for r in qs.collect():
+            d2 = (p[:, 1] - r["x"]) ** 2 + (p[:, 2] - r["y"]) ** 2
+            order = np.lexsort((p[:, 0], d2))[:k]
+            expect += [
+                (r["query_id"], rank, int(p[j, 0])) for rank, j in enumerate(order, 1)
+            ]
+        assert [(q, rk, d) for q, rk, d, _ in got] == sorted(expect)
+
+
 def test_knn_tie_break_by_doc_id(spark):
     pts = spark.createDataFrame(
         [(5, 110.0, 100.0), (3, 90.0, 100.0), (9, 100.0, 110.0), (1, 100.0, 90.0)],
