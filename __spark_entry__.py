@@ -122,6 +122,32 @@ def _q_segment_former(spark: SparkSession, sf_dir: str) -> DataFrame:
     return form_segments(src.trajectory_points(spark, sf_dir))
 
 
+def _q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row invariant at the gate: doc_ids of surviving documents whose
+    span sequence (kind, text, media_ref, order) differs from the input —
+    MUST be empty after the spatial pipeline (BASELINE.json input_hint)."""
+    from distributed_spatial_index_spark.sources.spans import span_signature
+
+    docs = interleaved_documents(spark, sf_dir)
+    mbrs = extract_geo(docs).select(
+        F.col("doc_id").cast("long").alias("id"), "xmin", "ymin", "xmax", "ymax"
+    )
+    qs = src.range_queries(spark, sf_dir, "documents", ratio=_DOC_RATIO)
+    surviving = docs.join(
+        mbr_range_join(mbrs, qs)
+        .select(F.col("doc_id").cast("string").alias("doc_id")).distinct(),
+        "doc_id",
+    )
+    a = span_signature(surviving).alias("a")
+    b = span_signature(docs).alias("b")
+    return (
+        a.join(b, "doc_id", "left")
+        .filter(F.col("b.span_sig").isNull()
+                | (F.col("a.span_sig") != F.col("b.span_sig")))
+        .select("doc_id")
+    )
+
+
 def _q_multires_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_spatial_index_spark.operators.range_join import (
         multires_range_join,
@@ -182,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_extract": _q_span_extract,
         "interleaved_range_join": _q_interleaved_range_join,
         "segment_former": _q_segment_former,
+        "span_invariant": _q_span_invariant,
         # training-data pipeline ops (documents / embeddings tables)
         "token_count": lambda s, d: _ts.token_count(src.load(s, d, "documents")),
         "lang_id": lambda s, d: _ts.lang_id(src.load(s, d, "documents")),
@@ -258,6 +285,9 @@ def oracle_sql() -> dict[str, str]:
                 ('q.xmin', 'q.ymin', 'q.xmax', 'q.ymax'))}
         """,
         "segment_former": segments_sql(src.trajectory_points_sql()),
+        # invariant holds <=> both sides are empty with the same schema
+        "span_invariant": "SELECT CAST(doc_id AS VARCHAR) AS doc_id "
+                          "FROM documents WHERE 1 = 0",
         "token_count": _ts.token_count_sql("documents"),
         "lang_id": _ts.lang_id_sql("documents"),
         "quality_score": _ts.quality_score_sql("documents"),

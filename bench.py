@@ -156,9 +156,11 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
-    # headline metric components (extra warmed run for JIT)
-    _materialize(point_range_join(pts, qs))
-    timed("range_join", lambda: point_range_join(pts, qs), runs=2)
+    # headline metric components (extra warmed run for JIT); bits=9 routing
+    # measured fastest at this density (smaller broadcast build than 10,
+    # tighter pruning than 8)
+    _materialize(point_range_join(pts, qs, bits=9))
+    timed("range_join", lambda: point_range_join(pts, qs, bits=9), runs=2)
     timed("tile_assignment", lambda: assign_tiles(pts), runs=2)
 
     # secondary coverage queries
