@@ -26,6 +26,7 @@ from distributed_spatial_index_spark.operators.density import (
 )
 from distributed_spatial_index_spark.operators.knn import knn, knn_oracle_sql
 from distributed_spatial_index_spark.operators.pip_join import (
+    convex_pip_join,
     pip_join,
     triangle_pip_oracle_sql,
     triangle_polygons,
@@ -205,6 +206,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multires_range_join": _q_multires_range_join,
         "knn": _q_knn,
         "pip_join": _q_pip_join,
+        "pip_join_convex": lambda s, d: convex_pip_join(
+            src.geo_points(s, d, _GEO_TABLE),
+            triangle_polygons(src.knn_queries(s, d, _GEO_TABLE)),
+            bits=9,
+        ),
         "span_extract": _q_span_extract,
         "interleaved_range_join": _q_interleaved_range_join,
         "segment_former": _q_segment_former,
@@ -275,6 +281,9 @@ def oracle_sql() -> dict[str, str]:
             src.unique_geo_points_sql(_GEO_TABLE), src.knn_queries_sql(_GEO_TABLE), k=5
         ),
         "pip_join": triangle_pip_oracle_sql(pts, src.knn_queries_sql(_GEO_TABLE)),
+        "pip_join_convex": triangle_pip_oracle_sql(
+            pts, src.knn_queries_sql(_GEO_TABLE)
+        ),
         "span_extract": media_spans_sql("documents"),
         "interleaved_range_join": f"""
             SELECT DISTINCT q.query_id, CAST(m.doc_id AS BIGINT) AS doc_id

@@ -107,6 +107,7 @@ def main() -> None:
     from distributed_spatial_index_spark.operators.dedup import minhash_lsh_pairs
     from distributed_spatial_index_spark.operators.knn import knn
     from distributed_spatial_index_spark.operators.pip_join import (
+        convex_pip_join,
         pip_join,
         triangle_polygons,
     )
@@ -167,6 +168,8 @@ def main() -> None:
     timed("density_grid", lambda: density_grid(pts))
     timed("knn", lambda: knn(upts, kq, k=5))
     timed("pip_join", lambda: pip_join(pts, triangle_polygons(kq), bits=7))
+    timed("pip_join_convex", lambda: convex_pip_join(
+        pts, triangle_polygons(kq), bits=9))
     docs = interleaved_documents(spark, sf_dir)
     timed("interleaved_pipeline", lambda: mbr_range_join(
         extract_geo(docs).select(

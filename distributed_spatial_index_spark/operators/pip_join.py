@@ -140,6 +140,59 @@ def pip_join(
     )
 
 
+def convex_pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+) -> DataFrame:
+    """PIP join for CONVEX polygons with CCW vertices — entirely JVM-side:
+    strict interior <=> every edge's cross product with the point is
+    positive, expressed with higher-order array functions (F.forall over the
+    vertex ring), so the refine stays inside whole-stage codegen with no
+    Arrow transfer.  Use pip_join (ray casting) for concave rings.
+    """
+    vx = F.transform(F.col("vertices"), lambda v: v["x"])
+    vy = F.transform(F.col("vertices"), lambda v: v["y"])
+    qcells = (
+        polygons.select(
+            "query_id", "vertices",
+            F.array_min(vx).alias("xmin"), F.array_min(vy).alias("ymin"),
+            F.array_max(vx).alias("xmax"), F.array_max(vy).alias("ymax"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(covering_cells_col(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+                bits=bits, region=region,
+            )),
+        )
+        .select("query_id", "cell", "vertices", "xmin", "ymin", "xmax", "ymax")
+    )
+    pts = points.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
+    cand = pts.join(F.broadcast(qcells), "cell").filter(
+        (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
+        & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax"))
+    )
+    n = F.size("vertices")
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def edge_positive(i):
+        v1 = F.element_at("vertices", i + 1)               # 1-based
+        v2 = F.element_at("vertices", F.pmod(i + 1, n) + 1)  # wrap
+        cross = (v2["x"] - v1["x"]) * (F.col("y") - v1["y"]) - (
+            v2["y"] - v1["y"]
+        ) * (F.col("x") - v1["x"])
+        return cross > 0
+
+    inside = F.forall(idx, edge_positive)
+    return (
+        cand.filter(inside)
+        .select("query_id", F.col("id").alias("doc_id"))
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+
+
 # --- deterministic triangle workload (oracle-expressible) -------------------
 
 # triangle around a point (x, y): CCW vertices

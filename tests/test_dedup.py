@@ -94,6 +94,37 @@ def test_minhash_lsh_precision_and_recall(corpus):
     assert len(got & high) >= 0.9 * len(high) and len(high) > 0
 
 
+def test_minhash_max_df_consistent(corpus):
+    """Capped jaccard = jaccard over shingle sets with df > max_df removed;
+    verified pairs stay a subset of the capped exact truth."""
+    max_df = 5
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in dd.minhash_lsh_pairs(corpus, threshold=0.7, max_df=max_df).collect()}
+    # pandas truth with the same cap
+    rows = corpus.collect()
+    sets = {}
+    for r in rows:
+        toks = r["text"].strip().lower().split(" ")
+        m = max(len(toks) - 2, 1)
+        sets[r["doc_id"]] = {" ".join(toks[i:i + 3]) for i in range(m)}
+    from collections import Counter
+    df_count = Counter(s for ss in sets.values() for s in ss)
+    sets = {d: {s for s in ss if df_count[s] <= max_df} for d, ss in sets.items()}
+    ok = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        u = sets[a] | sets[b]
+        if not u:
+            continue
+        j = len(sets[a] & sets[b]) / len(u)
+        if j >= 0.7:
+            ok[(a, b)] = j
+    assert set(got) <= set(ok)
+    for p in got:
+        assert abs(got[p] - ok[p]) < 1e-12
+    # exact copies still found
+    assert any(a + 10_000 == b for a, b in got)
+
+
 def test_simhash_pairs_exact(corpus):
     sigs = {r["doc_id"]: r["simhash"]
             for r in dd.simhash_signatures(corpus).collect()}

@@ -42,6 +42,21 @@ def test_triangle_pip_vs_duckdb(spark, ddb):
     assert got.count() > 0
 
 
+def test_convex_pip_equals_raycast_and_oracle(spark, ddb):
+    from distributed_spatial_index_spark.operators.pip_join import convex_pip_join
+
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    polys = triangle_polygons(src.knn_queries(spark, SF_DIR, "lineitem"))
+    a = sorted(map(tuple, convex_pip_join(pts, polys).collect()))
+    b = sorted(map(tuple, pip_join(pts, polys).collect()))
+    assert a == b and len(a) > 0
+    rows = ddb.execute(
+        triangle_pip_oracle_sql(src.geo_points_sql("lineitem"),
+                                src.knn_queries_sql("lineitem"))
+    ).fetchall()
+    assert sorted(a) == sorted(tuple(r) for r in rows)
+
+
 def test_concave_polygon_vs_numpy(spark):
     pts = src.geo_points(spark, SF_DIR, "lineitem")
     u = [(4000.0, 4000.0), (4800.0, 4000.0), (4800.0, 4800.0), (4600.0, 4800.0),
