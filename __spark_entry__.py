@@ -55,6 +55,7 @@ from distributed_spatial_index_spark.sources.synthetic import (
 )
 
 from distributed_spatial_index_spark.operators import dedup as _dd
+from distributed_spatial_index_spark.operators import relational as _rel
 from distributed_spatial_index_spark.operators import windows as _win
 from distributed_spatial_index_spark.operators import textstats as _ts
 from distributed_spatial_index_spark.operators.simsearch import (
@@ -236,6 +237,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": lambda s, d: ivf_topk(
             src.load(s, d, "embeddings"), n_queries=16, k=10, nprobe=16
         ),
+        # general relational surface (SURVEY.md §2.9, north-rule additions)
+        "pricing_rollup": lambda s, d: _rel.pricing_rollup(
+            src.load(s, d, "lineitem")
+        ),
+        "customers_with_orders": lambda s, d: _rel.customers_with_orders(
+            src.load(s, d, "customer"), src.load(s, d, "orders")
+        ),
+        "customers_without_orders": lambda s, d: _rel.customers_without_orders(
+            src.load(s, d, "customer"), src.load(s, d, "orders")
+        ),
+        "events_json_extract": lambda s, d: _rel.events_json_extract(
+            src.load(s, d, "events")
+        ),
+        "orders_monthly": lambda s, d: _rel.orders_monthly(
+            src.load(s, d, "orders")
+        ),
+        "approx_distinct_parts": lambda s, d: _rel.approx_distinct_parts(
+            src.load(s, d, "lineitem")
+        ),
         # windowed / relational aggregation shapes (SURVEY.md A1/A2)
         "windowed_type_counts": lambda s, d: _win.windowed_type_counts(
             src.load(s, d, "events")
@@ -304,6 +324,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _dd.dedup_exact_sql("documents"),
         "ngram_jaccard": _dd.ngram_jaccard_pairs_sql("documents", threshold=0.2),
         "cosine_topk": cosine_topk_sql("embeddings", 16, 10),
+        "pricing_rollup": _rel.pricing_rollup_sql(),
+        "customers_with_orders": _rel.customers_with_orders_sql(),
+        "customers_without_orders": _rel.customers_without_orders_sql(),
+        "events_json_extract": _rel.events_json_extract_sql(),
+        "orders_monthly": _rel.orders_monthly_sql(),
+        # approx_distinct_parts: sketch-based -> rows-only (pytest bounds it)
         "windowed_type_counts": _win.windowed_type_counts_sql(),
         "sessionize": _win.sessionize_sql(),
         "lineitem_pricing_summary": _win.lineitem_pricing_summary_sql(),

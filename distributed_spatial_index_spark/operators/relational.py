@@ -1,0 +1,116 @@
+"""General relational surface (SURVEY.md §2.9: absent in the reference, so
+built Spark-native per the north rule): rollup/grouping sets, semi/anti
+joins, JSON extraction, date bucketing, approximate aggregates.
+
+Each op has a DuckDB oracle twin; money sums use integer cents so
+aggregation order cannot drift doubles between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pricing_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotal rows included —
+    grouping-set coverage."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_price_cents"
+            ),
+        )
+    )
+
+
+def pricing_rollup_sql() -> str:
+    return """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS sum_price_cents
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi join: customers having at least one order (EXISTS)."""
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def customers_with_orders_sql() -> str:
+    return """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-anti join: customers with no orders (NOT EXISTS)."""
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def customers_without_orders_sql() -> str:
+    return """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+
+
+def events_json_extract(events: DataFrame) -> DataFrame:
+    """JSON property extraction from the events props column."""
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+def events_json_extract_sql() -> str:
+    return (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
+        "AS k FROM events"
+    )
+
+
+def orders_monthly(orders: DataFrame) -> DataFrame:
+    """Date bucketing: revenue-cents per month per status."""
+    return (
+        orders.groupBy(
+            # DATE, matching DuckDB's date_trunc('month', ...) return type
+            F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+            .cast("date")
+            .alias("month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
+def orders_monthly_sql() -> str:
+    return """
+        SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders GROUP BY 1, 2
+    """
+
+
+def approx_distinct_parts(lineitem: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Approximate distinct count (HLL) with the exact count beside it —
+    rows-only at the gate (sketches are engine-specific by nature); the
+    pytest oracle asserts the relative error bound."""
+    return lineitem.agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

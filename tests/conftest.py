@@ -33,12 +33,14 @@ def ddb():
 
 
 def assert_same_rows(spark_df, ddb_rows, sort_cols=None):
-    """Order-insensitive exact row-set equality (ResultCompare.java:11-41
-    semantics)."""
-    a = [tuple(r) for r in spark_df.collect()]
-    b = [tuple(r) for r in ddb_rows]
-    assert sorted(a) == sorted(b), (
-        f"row mismatch: spark={len(a)} oracle={len(b)}; "
-        f"spark-only={sorted(set(a) - set(b))[:5]} "
-        f"oracle-only={sorted(set(b) - set(a))[:5]}"
+    """Order-insensitive exact row-multiset equality (ResultCompare.java:11-41
+    semantics); Counter-based so NULL-bearing rows need no ordering."""
+    from collections import Counter
+
+    a = Counter(tuple(r) for r in spark_df.collect())
+    b = Counter(tuple(r) for r in ddb_rows)
+    assert a == b, (
+        f"row mismatch: spark={sum(a.values())} oracle={sum(b.values())}; "
+        f"spark-only={list((a - b).keys())[:5]} "
+        f"oracle-only={list((b - a).keys())[:5]}"
     )
