@@ -29,8 +29,9 @@ def pricing_rollup(lineitem: DataFrame) -> DataFrame:
 def pricing_rollup_sql() -> str:
     return """
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                   AS sum_price_cents
+               -- outer CAST: DuckDB sum(BIGINT) returns HUGEINT; Spark long
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
 
@@ -101,7 +102,8 @@ def orders_monthly_sql() -> str:
     return """
         SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
                count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
         FROM orders GROUP BY 1, 2
     """
 

@@ -36,7 +36,8 @@ def windowed_type_counts_sql(minutes: int = 10) -> str:
         SELECT time_bucket(INTERVAL {minutes} MINUTE, ts) AS win_start,
                event_type,
                count(*) AS n,
-               sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
         FROM events GROUP BY 1, 2
     """
 
@@ -81,9 +82,10 @@ def sessionize_sql(gap_minutes: int = 30) -> str:
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
         ), s AS (
             SELECT user_id, tms,
-                   sum(new_session) OVER (
+                   -- CAST: DuckDB window sum(INT) is HUGEINT; Spark long
+                   CAST(sum(new_session) OVER (
                        PARTITION BY user_id ORDER BY tms, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM m
         )  -- both engines order by (tms, event_id); tms ties broken by id
         SELECT user_id, session_id, count(*) AS n_events,
@@ -110,9 +112,9 @@ def lineitem_pricing_summary(lineitem: DataFrame) -> DataFrame:
 def lineitem_pricing_summary_sql() -> str:
     return """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                   AS sum_price_cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents,
                count(*) AS n_rows
         FROM lineitem GROUP BY 1, 2
     """

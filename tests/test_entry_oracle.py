@@ -17,6 +17,11 @@ def _norm(v):
     return v
 
 
+def _key(t):
+    # None-safe sort key: NULL grouping columns (rollup) sort first
+    return tuple((v is None, str(type(v)), str(v)) for v in t)
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(spark, ddb, name):
     q = entrymod.queries()[name]
@@ -26,13 +31,15 @@ def test_query_matches_oracle(spark, ddb, name):
         assert sdf.count() >= 0  # rows-only check, like the driver
         return
     cols = sorted(sdf.columns)
-    a = sorted(tuple(_norm(r[c]) for c in cols) for r in sdf.collect())
+    a = sorted(
+        (tuple(_norm(r[c]) for c in cols) for r in sdf.collect()), key=_key
+    )
     res = ddb.execute(oracle)
     names = [d[0] for d in res.description]
     rows = res.fetchall()
     assert sorted(names) == cols, f"{name}: columns {names} vs {sdf.columns}"
     idx = [names.index(c) for c in cols]
-    b = sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+    b = sorted((tuple(_norm(r[i]) for i in idx) for r in rows), key=_key)
     assert a == b, (
         f"{name}: spark={len(a)} oracle={len(b)} "
         f"first-diff={next(((x, y) for x, y in zip(a, b) if x != y), None)}"
