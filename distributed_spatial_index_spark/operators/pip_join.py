@@ -26,9 +26,17 @@ from pyspark.sql import functions as F
 
 from distributed_spatial_index_spark.config import DEFAULT_REGION, JOIN_BITS, Region
 from distributed_spatial_index_spark.functions.cells import (
+    cell_coord_np,
     cell_id_col,
     covering_cells_col,
+    morton_np,
 )
+
+# Polygons are query-side metadata collected to the driver (broadcast to
+# executors).  Guard so a polygon-scale input fails loudly instead of
+# OOMing the driver — route such workloads through convex_pip_join (fully
+# distributed) or shred polygons to cells yourself.
+MAX_DRIVER_POLYGONS = 200_000
 
 
 def ray_cast_np(px: np.ndarray, py: np.ndarray, verts: np.ndarray) -> np.ndarray:
@@ -52,6 +60,134 @@ def ray_cast_np(px: np.ndarray, py: np.ndarray, verts: np.ndarray) -> np.ndarray
     return inside
 
 
+def _pad_polys(polys: dict) -> tuple[list, np.ndarray, np.ndarray]:
+    """Pad a {query_id: (n,2) verts} dict to (qids, nv[Q], verts[Q,maxV,2])."""
+    qids_sorted = sorted(polys)
+    nv = np.array([len(polys[q]) for q in qids_sorted], dtype=np.int64)
+    maxv = int(nv.max()) if len(nv) else 0
+    verts = np.zeros((len(qids_sorted), maxv, 2))
+    for i, q in enumerate(qids_sorted):
+        verts[i, : nv[i]] = polys[q]
+    return qids_sorted, nv, verts
+
+
+def _batched_even_odd(
+    px: np.ndarray, py: np.ndarray, qi: np.ndarray,
+    nv: np.ndarray, verts: np.ndarray,
+) -> np.ndarray:
+    """Even-odd PIP vectorized across a batch of (point, polygon-index)
+    rows: maxV NumPy passes over the whole batch, rows gathering their
+    polygon's edge by query index — no per-row Python."""
+    n_edges = nv[qi]
+    maxv = verts.shape[1]
+    inside = np.zeros(len(px), dtype=bool)
+    for i in range(maxv):
+        active = i < n_edges
+        j = np.where(i + 1 < n_edges, i + 1, 0)  # wrap per-row
+        x1 = verts[qi, i, 0]
+        y1 = verts[qi, i, 1]
+        x2 = verts[qi, j, 0]
+        y2 = verts[qi, j, 1]
+        crosses = active & ((y1 > py) != (y2 > py))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        inside ^= crosses & (px < xint)
+    return inside
+
+
+def _segs_intersect_rects(
+    x1: np.ndarray, y1: np.ndarray, x2: np.ndarray, y2: np.ndarray,
+    rx0: np.ndarray, ry0: np.ndarray, rx1: np.ndarray, ry1: np.ndarray,
+) -> np.ndarray:
+    """Liang-Barsky segment-vs-AABB test, vectorized over rows."""
+    dx = x2 - x1
+    dy = y2 - y1
+    t0 = np.zeros(len(x1))
+    t1 = np.ones(len(x1))
+    ok = np.ones(len(x1), dtype=bool)
+    for p, q in ((-dx, x1 - rx0), (dx, rx1 - x1), (-dy, y1 - ry0), (dy, ry1 - y1)):
+        zero = p == 0
+        ok &= ~(zero & (q < 0))
+        r = q / np.where(zero, 1.0, p)
+        t0 = np.where(~zero & (p < 0), np.maximum(t0, r), t0)
+        t1 = np.where(~zero & (p > 0), np.minimum(t1, r), t1)
+    return ok & (t0 <= t1)
+
+
+def _classified_query_cells(
+    polys: dict, bits: int, region: Region
+) -> pd.DataFrame:
+    """Covering cells of each polygon's bbox, classified interior/boundary.
+
+    A cell is *interior* when it lies fully inside its polygon: all four
+    corners strictly inside and no polygon edge intersects the cell rect
+    (conservative — edge-touching cells stay boundary).  This is the
+    reference's dir-node containment short-circuit (RCDirNode.java:130-132)
+    recast for the filter-refine PIP join: interior-cell points skip the
+    Arrow refine entirely.  Runs on the driver: the (query, cell) table is
+    query-side metadata, a few covering cells per query.
+    """
+    qids_sorted, nv, verts = _pad_polys(polys)
+    Q = len(qids_sorted)
+    if Q == 0:
+        return pd.DataFrame(
+            columns=["query_id", "cell", "interior",
+                     "xmin", "ymin", "xmax", "ymax"]
+        )
+    vx = verts[:, :, 0].copy()
+    vy = verts[:, :, 1].copy()
+    pad = np.arange(verts.shape[1])[None, :] >= nv[:, None]
+    vx[pad] = np.nan
+    vy[pad] = np.nan
+    xmin = np.nanmin(vx, 1); xmax = np.nanmax(vx, 1)
+    ymin = np.nanmin(vy, 1); ymax = np.nanmax(vy, 1)
+
+    n = 1 << bits
+    cxmin = cell_coord_np(xmin, region.x_lo, region.width, bits)
+    cxmax = cell_coord_np(xmax, region.x_lo, region.width, bits)
+    cymin = cell_coord_np(ymin, region.y_lo, region.height, bits)
+    cymax = cell_coord_np(ymax, region.y_lo, region.height, bits)
+    counts = (cxmax - cxmin + 1) * (cymax - cymin + 1)
+    qi = np.repeat(np.arange(Q), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    off = np.arange(counts.sum()) - starts[qi]
+    ny = (cymax - cymin + 1)[qi]
+    cx = cxmin[qi] + off // ny
+    cy = cymin[qi] + off % ny
+    cell = morton_np(cx, cy, bits)
+
+    cw = region.width / n
+    ch = region.height / n
+    rx0 = region.x_lo + cx * cw
+    ry0 = region.y_lo + cy * ch
+    rx1 = rx0 + cw
+    ry1 = ry0 + ch
+
+    corners_in = np.ones(len(qi), dtype=bool)
+    for px, py in ((rx0, ry0), (rx0, ry1), (rx1, ry0), (rx1, ry1)):
+        corners_in &= _batched_even_odd(px, py, qi, nv, verts)
+    edge_hits = np.zeros(len(qi), dtype=bool)
+    maxv = verts.shape[1]
+    n_edges = nv[qi]
+    for i in range(maxv):
+        active = i < n_edges
+        j = np.where(i + 1 < n_edges, i + 1, 0)
+        edge_hits |= active & _segs_intersect_rects(
+            verts[qi, i, 0], verts[qi, i, 1],
+            verts[qi, j, 0], verts[qi, j, 1],
+            rx0, ry0, rx1, ry1,
+        )
+    interior = corners_in & ~edge_hits
+    qid_arr = np.array(qids_sorted)
+    return pd.DataFrame({
+        "query_id": qid_arr[qi],
+        "cell": cell.astype(np.int64),
+        "interior": interior,
+        "xmin": xmin[qi], "ymin": ymin[qi],
+        "xmax": xmax[qi], "ymax": ymax[qi],
+    })
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -59,9 +195,22 @@ def pip_join(
     region: Region = DEFAULT_REGION,
 ) -> DataFrame:
     """points(id, x, y) ⋈ polygons(query_id, vertices array<struct<x,y>>)
-    → (query_id, doc_id) for points strictly inside each polygon."""
+    → (query_id, doc_id) for points strictly inside each polygon.
+
+    Filter: broadcast (query, covering-cell) equi-join, with cells
+    pre-classified interior/boundary on the driver.  Points in interior
+    cells are emitted directly inside whole-stage codegen; only
+    boundary-cell candidates cross Arrow into the NumPy ray-cast refine.
+    """
     spark = points.sparkSession
 
+    n_polys = polygons.count()
+    if n_polys > MAX_DRIVER_POLYGONS:
+        raise ValueError(
+            f"pip_join collects polygons to the driver as query metadata; "
+            f"got {n_polys} > MAX_DRIVER_POLYGONS={MAX_DRIVER_POLYGONS}. "
+            "Use convex_pip_join (fully distributed) or raise the guard."
+        )
     poly_rows = polygons.select("query_id", "vertices").collect()
     polys = {
         r["query_id"]: np.array([(v["x"], v["y"]) for v in r["vertices"]])
@@ -69,30 +218,31 @@ def pip_join(
     }
     bc = spark.sparkContext.broadcast(polys)
 
-    # bbox per polygon -> covering cells (query side, tiny)
-    vx = F.transform(F.col("vertices"), lambda v: v["x"])
-    vy = F.transform(F.col("vertices"), lambda v: v["y"])
-    qcells = (
-        polygons.select(
-            "query_id",
-            F.array_min(vx).alias("xmin"), F.array_min(vy).alias("ymin"),
-            F.array_max(vx).alias("xmax"), F.array_max(vy).alias("ymax"),
-        )
-        .withColumn(
-            "cell",
-            F.explode(covering_cells_col(
-                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
-                bits=bits, region=region,
-            )),
-        )
-        .select("query_id", "cell", "xmin", "ymin", "xmax", "ymax")
+    qcells = spark.createDataFrame(
+        _classified_query_cells(polys, bits, region),
+        schema=(
+            "query_id long, cell long, interior boolean, "
+            "xmin double, ymin double, xmax double, ymax double"
+        ),
     )
 
     pts = points.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
+    cand = pts.join(F.broadcast(qcells), "cell")
+    # in-region guard: cell ids clamp out-of-region points into edge cells,
+    # so "point is in an interior cell" only implies "inside the polygon"
+    # for points geometrically inside their cell (the refine path re-checks
+    # exactly, the direct path must not).
+    in_region = (
+        (F.col("x") >= F.lit(region.x_lo)) & (F.col("x") <= F.lit(region.x_hi))
+        & (F.col("y") >= F.lit(region.y_lo)) & (F.col("y") <= F.lit(region.y_hi))
+    )
+    direct = cand.filter(F.col("interior") & in_region).select(
+        "query_id", F.col("id").alias("doc_id")
+    )
     # JVM-side bbox prefilter cuts the Arrow transfer into the Python
     # refine to points that can possibly be inside the polygon
-    cand = (
-        pts.join(F.broadcast(qcells), "cell")
+    boundary = (
+        cand.filter(~F.col("interior") | ~in_region)
         .filter(
             (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
             & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax"))
@@ -105,39 +255,19 @@ def pip_join(
         # padded to a [Q, maxV, 2] tensor once, rows gather their polygon by
         # query index, and the even-odd rule runs as maxV (<= a dozen)
         # NumPy passes over the full batch.
-        polys_local = bc.value
-        qids_sorted = sorted(polys_local)
+        qids_sorted, nv, verts = _pad_polys(bc.value)
         qindex = {q: i for i, q in enumerate(qids_sorted)}
-        nv = np.array([len(polys_local[q]) for q in qids_sorted])
-        maxv = int(nv.max()) if len(nv) else 0
-        verts = np.zeros((len(qids_sorted), maxv, 2))
-        for i, q in enumerate(qids_sorted):
-            verts[i, : nv[i]] = polys_local[q]
         for pdf in batches:
             if pdf.empty:
                 continue
             px = pdf["x"].to_numpy()
             py = pdf["y"].to_numpy()
             qi = np.array([qindex[q] for q in pdf["query_id"].to_numpy()])
-            n_edges = nv[qi]
-            inside = np.zeros(len(pdf), dtype=bool)
-            for i in range(maxv):
-                active = i < n_edges
-                j = np.where(i + 1 < n_edges, i + 1, 0)  # wrap per-row
-                x1 = verts[qi, i, 0]
-                y1 = verts[qi, i, 1]
-                x2 = verts[qi, j, 0]
-                y2 = verts[qi, j, 1]
-                crosses = active & ((y1 > py) != (y2 > py))
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
-                inside ^= crosses & (px < xint)
+            inside = _batched_even_odd(px, py, qi, nv, verts)
             yield pdf.loc[inside, ["query_id", "doc_id"]]
 
-    return (
-        cand.mapInPandas(refine, schema="query_id long, doc_id long")
-        .dropDuplicates(["query_id", "doc_id"])
-    )
+    refined = boundary.mapInPandas(refine, schema="query_id long, doc_id long")
+    return direct.unionByName(refined).dropDuplicates(["query_id", "doc_id"])
 
 
 def convex_pip_join(
@@ -145,47 +275,94 @@ def convex_pip_join(
     polygons: DataFrame,
     bits: int = JOIN_BITS,
     region: Region = DEFAULT_REGION,
+    arity: int | None = None,
 ) -> DataFrame:
     """PIP join for CONVEX polygons with CCW vertices — entirely JVM-side:
     strict interior <=> every edge's cross product with the point is
-    positive, expressed with higher-order array functions (F.forall over the
-    vertex ring), so the refine stays inside whole-stage codegen with no
-    Arrow transfer.  Use pip_join (ray casting) for concave rings.
+    positive.  Use pip_join (ray casting) for concave rings.
+
+    Fixed-arity rings (``arity`` given, or auto-detected from the — tiny,
+    query-side — polygon table) take the fast path: each edge's endpoints
+    are precomputed as scalar double columns on the broadcast query side, so
+    the per-candidate interior test is an unrolled conjunction of plain
+    column arithmetic that stays inside whole-stage codegen — no vertex
+    array access, no higher-order functions (Spark evaluates array-lambda
+    HOFs like F.forall interpreted, per row: measured 2.6x SLOWER than the
+    Arrow ray-cast refine in round 1).  Variable-arity inputs fall back to
+    the HOF form, which is still JVM-side but interpreted.
     """
+    if arity is None:
+        sizes = [
+            r["n"]
+            for r in polygons.select(
+                F.size("vertices").alias("n")
+            ).distinct().collect()
+        ]
+        arity = sizes[0] if len(sizes) == 1 else None
+
     vx = F.transform(F.col("vertices"), lambda v: v["x"])
     vy = F.transform(F.col("vertices"), lambda v: v["y"])
-    qcells = (
-        polygons.select(
-            "query_id", "vertices",
-            F.array_min(vx).alias("xmin"), F.array_min(vy).alias("ymin"),
-            F.array_max(vx).alias("xmax"), F.array_max(vy).alias("ymax"),
-        )
-        .withColumn(
-            "cell",
-            F.explode(covering_cells_col(
-                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
-                bits=bits, region=region,
-            )),
-        )
-        .select("query_id", "cell", "vertices", "xmin", "ymin", "xmax", "ymax")
+    qside = polygons.select(
+        "query_id", "vertices",
+        F.array_min(vx).alias("xmin"), F.array_min(vy).alias("ymin"),
+        F.array_max(vx).alias("xmax"), F.array_max(vy).alias("ymax"),
     )
+
+    keep = ["query_id", "cell", "xmin", "ymin", "xmax", "ymax"]
+    if arity is not None:
+        # materialize edge endpoints once per QUERY row (tiny side)
+        for i in range(arity):
+            v = F.element_at("vertices", i + 1)  # 1-based
+            qside = qside.withColumn(f"_v{i}x", v["x"]).withColumn(
+                f"_v{i}y", v["y"]
+            )
+        keep += [f"_v{i}{a}" for i in range(arity) for a in ("x", "y")]
+    else:
+        keep.append("vertices")
+
+    qcells = qside.withColumn(
+        "cell",
+        F.explode(covering_cells_col(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            bits=bits, region=region,
+        )),
+    ).select(*keep)
+
     pts = points.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
     cand = pts.join(F.broadcast(qcells), "cell").filter(
         (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
         & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax"))
     )
-    n = F.size("vertices")
-    idx = F.sequence(F.lit(0), n - 1)
 
-    def edge_positive(i):
-        v1 = F.element_at("vertices", i + 1)               # 1-based
-        v2 = F.element_at("vertices", F.pmod(i + 1, n) + 1)  # wrap
-        cross = (v2["x"] - v1["x"]) * (F.col("y") - v1["y"]) - (
-            v2["y"] - v1["y"]
-        ) * (F.col("x") - v1["x"])
-        return cross > 0
+    if arity is not None:
+        def edge_positive_scalar(i: int):
+            x1, y1 = F.col(f"_v{i}x"), F.col(f"_v{i}y")
+            j = (i + 1) % arity
+            x2, y2 = F.col(f"_v{j}x"), F.col(f"_v{j}y")
+            return (x2 - x1) * (F.col("y") - y1) - (y2 - y1) * (
+                F.col("x") - x1
+            ) > 0
 
-    inside = F.forall(idx, edge_positive)
+        inside = edge_positive_scalar(0)
+        for i in range(1, arity):
+            inside = inside & edge_positive_scalar(i)
+    else:
+        n = F.size("vertices")
+        idx = F.sequence(F.lit(0), n - 1)
+
+        def edge_positive(i):
+            v1 = F.element_at("vertices", i + 1)               # 1-based
+            v2 = F.element_at("vertices", F.pmod(i + 1, n) + 1)  # wrap
+            cross = (v2["x"] - v1["x"]) * (F.col("y") - v1["y"]) - (
+                v2["y"] - v1["y"]
+            ) * (F.col("x") - v1["x"])
+            return cross > 0
+
+        inside = F.forall(idx, edge_positive)
+
+    # dedup is semantic (per-query set-union, SURVEY A3): doc ids are not
+    # unique in the point table, so distinct points can emit the same
+    # (query_id, doc_id) pair.  Only result rows shuffle here.
     return (
         cand.filter(inside)
         .select("query_id", F.col("id").alias("doc_id"))
