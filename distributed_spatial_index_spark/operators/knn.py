@@ -19,6 +19,8 @@ would shuffle |docs| x |queries| rows.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -37,11 +39,12 @@ def knn(
     points: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    r0: float = 32.0,
+    r0: float | None = None,
     growth: float = 4.0,
     max_rounds: int = 8,
     bits: int = 7,
     region: Region = DEFAULT_REGION,
+    safety: float = 3.0,
 ) -> DataFrame:
     """points(id, x, y) ⋈ queries(query_id, x, y) → k nearest points.
 
@@ -49,9 +52,22 @@ def knn(
     boxes are ~2 cells wide at bits=7, so the per-round broadcast stays
     small and the extra candidates are cheap JVM predicate evals.
 
+    ``r0=None`` (default) picks the initial radius PER QUERY from the cell
+    density grid: r = sqrt(safety*k / (pi*lambda)) with lambda the local
+    docs-per-unit-area, so the first ring is expected to hold >= safety*k
+    candidates and nearly every query settles in round 1 (one extra
+    <=4^bits-row aggregation, once).  Pass a float to force a fixed radius.
+
+    The driver loop runs ONE action per round (the settled-count
+    materialization doubles as the convergence check — settled queries emit
+    exactly k rows, so remaining-query accounting is pure driver
+    arithmetic, no isEmpty job).
+
     Returns (query_id, rank, doc_id, d2); rank 1..k ordered by squared L2
     distance then doc_id.  ``points`` must be unique by id (dedupe upstream
-    if the source has id collisions).
+    if the source has id collisions).  The result is returned persisted
+    (per-round frames are unpersisted after the union materializes);
+    callers may ``unpersist()`` it when done.
     """
     spark = points.sparkSession
     pts = points.select(
@@ -59,20 +75,52 @@ def knn(
     ).withColumn("cell", cell_id_col(F.col("px"), F.col("py"), bits, region))
     pts = pts.persist()
 
-    remaining = queries.select("query_id", F.col("x").alias("qx"), F.col("y").alias("qy"))
+    # Dedupe by query_id: sources may repeat a query row (lineitem-derived
+    # ids collide), and duplicate rows would double-count candidates in the
+    # settle test AND rank the same doc twice.  Duplicate ids must carry
+    # identical coordinates (ours do: x, y are functions of the id) — the
+    # oracle applies the same DISTINCT.
+    q0 = queries.select(
+        "query_id", F.col("x").alias("qx"), F.col("y").alias("qy")
+    ).dropDuplicates(["query_id"])
+    if r0 is None:
+        cw = region.width / (1 << bits)
+        ch = region.height / (1 << bits)
+        counts = pts.groupBy("cell").agg(F.count(F.lit(1)).alias("n_in_cell"))
+        lam = F.col("n_in_cell") / F.lit(cw * ch)
+        want = F.sqrt(F.lit(safety * k) / (F.lit(math.pi) * lam))
+        # No geometric floor: the cell cover is a superset of the r-disk at
+        # ANY r, so a tiny radius in a dense cell is still correct — it just
+        # keeps the ring (and the equi-join fan-out) minimal.
+        half_diag = 0.5 * math.hypot(cw, ch)
+        rcol = F.coalesce(
+            F.least(want, F.lit(min(region.width, region.height) / 4.0)),
+            F.lit(4.0 * half_diag),  # empty cell: start a ring out
+        )
+        remaining = (
+            q0.withColumn("cell", cell_id_col(F.col("qx"), F.col("qy"), bits, region))
+            .join(F.broadcast(counts), "cell", "left")
+            .select("query_id", "qx", "qy", rcol.alias("r"))
+            .persist()
+        )
+    else:
+        remaining = q0.withColumn("r", F.lit(float(r0))).persist()
+    n_remaining = remaining.count()
+    rem_frames: list[DataFrame] = [remaining]  # final idempotent sweep
+
     rounds: list[DataFrame] = []
-    r = float(r0)
     d2 = dist2(F.col("px"), F.col("py"), F.col("qx"), F.col("qy"))
     w = Window.partitionBy("query_id").orderBy("d2", "doc_id")
     wc = Window.partitionBy("query_id")
+    prev_remaining: DataFrame | None = None
 
     for _round in range(max_rounds):
         qcells = remaining.withColumn(
             "cell",
             F.explode(
                 covering_cells_col(
-                    F.col("qx") - F.lit(r), F.col("qy") - F.lit(r),
-                    F.col("qx") + F.lit(r), F.col("qy") + F.lit(r),
+                    F.col("qx") - F.col("r"), F.col("qy") - F.col("r"),
+                    F.col("qx") + F.col("r"), F.col("qy") + F.col("r"),
                     bits=bits, region=region,
                 )
             ),
@@ -80,7 +128,7 @@ def knn(
         cand = (
             pts.join(F.broadcast(qcells), "cell")
             .withColumn("d2", d2)
-            .filter(F.col("d2") <= F.lit(r * r))
+            .filter(F.col("d2") <= F.col("r") * F.col("r"))
             .select("query_id", F.col("id").alias("doc_id"), "d2")
         )
         # one shuffle: the count-over-partition and the rank share the
@@ -93,19 +141,29 @@ def knn(
             .select("query_id", "rank", "doc_id", "d2")
             .persist()
         )
-        scored.count()  # materialize this round
+        n_remaining -= scored.count() // k  # the round's ONLY action
         rounds.append(scored)
-        remaining = remaining.join(
-            scored.select("query_id").distinct(), "query_id", "left_anti"
-        ).persist()
-        if remaining.isEmpty():
+        if prev_remaining is not None:
+            prev_remaining.unpersist()
+        if n_remaining <= 0:
             break
-        r *= growth
+        nxt = (
+            remaining.join(
+                scored.select("query_id").distinct(), "query_id", "left_anti"
+            )
+            .withColumn("r", F.col("r") * F.lit(growth))
+            .persist()
+        )
+        prev_remaining = remaining
+        remaining = nxt
+        rem_frames.append(remaining)
     else:
         # max_rounds exhausted: brute-force the stragglers (tiny by now)
-        if not remaining.isEmpty():
+        if n_remaining > 0:
             rounds.append(
-                pts.crossJoin(F.broadcast(remaining))
+                pts.crossJoin(
+                    F.broadcast(remaining.select("query_id", "qx", "qy"))
+                )
                 .withColumn("d2", d2)
                 .select("query_id", F.col("id").alias("doc_id"), "d2")
                 .withColumn("rank", F.row_number().over(w))
@@ -117,18 +175,27 @@ def knn(
     for rdf in rounds:
         out = rdf if out is None else out.unionByName(rdf)
 
-    pts.unpersist()
     if out is None:
+        pts.unpersist()
+        for rdf in rem_frames:
+            rdf.unpersist()
         return spark.createDataFrame(
             [], "query_id long, rank int, doc_id long, d2 double"
         )
+    out = out.persist()
+    out.count()  # queries*k rows — tiny; lets every input cache go
+    for rdf in rounds:
+        rdf.unpersist()
+    for rdf in rem_frames:
+        rdf.unpersist()  # unpersist is idempotent; sweep covers all paths
+    pts.unpersist()
     return out
 
 
 def knn_oracle_sql(points_sql: str, queries_sql: str, k: int = 5) -> str:
     """Brute-force DuckDB oracle: rank by (d2, doc_id) per query.  The d2
     expression mirrors the Spark column op-for-op so doubles are
-    bit-identical."""
+    bit-identical.  Queries are DISTINCT-ed exactly like knn() dedupes."""
     return f"""
         SELECT query_id, rank, doc_id, d2 FROM (
             SELECT q.query_id AS query_id,
@@ -139,6 +206,6 @@ def knn_oracle_sql(points_sql: str, queries_sql: str, k: int = 5) -> str:
                        ORDER BY ((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)),
                                 p.id
                    ) AS INTEGER) AS rank
-            FROM ({points_sql}) p, ({queries_sql}) q
+            FROM ({points_sql}) p, (SELECT DISTINCT * FROM ({queries_sql})) q
         ) WHERE rank <= {k}
     """
