@@ -14,6 +14,9 @@ reference uses (SingleNodeIndexPF.java / ResultCompare.java:11-41).
 
 from __future__ import annotations
 
+import glob
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +69,27 @@ from distributed_spatial_index_spark.operators.simsearch import (
 
 _GEO_TABLE = "lineitem"  # biggest id-carrying table -> most meaningful checks
 _DOC_RATIO = 15  # documents table is small; denser query sampling
+_MAX_DF = 20  # shingle document-frequency cap for the graded dedup paths
+
+
+def _expected_parquet_sql(name: str, cols: str) -> str:
+    """Oracle over precomputed expected parquet (scripts/gen_expected.py: an
+    independent pure-Python pipeline whose xxhash64 kernel is JVM-parity-
+    tested).  DuckDB has no xxhash64, so MinHash/SimHash cannot have a SQL
+    twin; this dispatches on the registered lineitem view's row count to
+    pick the file generated for the scale factor the gate is running at.
+    An un-generated sf yields an empty oracle -> a loud gate mismatch."""
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "expected"
+    )
+    branches = []
+    for p in sorted(glob.glob(os.path.join(base, f"{name}_li*.parquet"))):
+        n_li = int(re.search(r"_li(\d+)\.parquet$", p).group(1))
+        branches.append(
+            f"SELECT {cols} FROM read_parquet('{p}') "
+            f"WHERE (SELECT count(*) FROM lineitem) = {n_li}"
+        )
+    return " UNION ALL ".join(branches)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -222,11 +246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, d: _ts.quality_score(src.load(s, d, "documents")),
         "fingerprint": lambda s, d: _ts.fingerprint(src.load(s, d, "documents")),
         "dedup_exact": lambda s, d: _dd.dedup_exact(src.load(s, d, "documents")),
+        # max_df on: the scale guard the ops ship with is the one graded
         "ngram_jaccard": lambda s, d: _dd.ngram_jaccard_pairs(
-            src.load(s, d, "documents"), threshold=0.2
+            src.load(s, d, "documents"), threshold=0.2, max_df=_MAX_DF
         ),
         "minhash_lsh": lambda s, d: _dd.minhash_lsh_pairs(
-            src.load(s, d, "documents"), threshold=0.2
+            src.load(s, d, "documents"), threshold=0.2, max_df=_MAX_DF
         ),
         "simhash_dedup": lambda s, d: _dd.simhash_pairs(
             src.load(s, d, "documents"), max_hamming=4
@@ -234,8 +259,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": lambda s, d: cosine_topk(
             src.load(s, d, "embeddings"), n_queries=16, k=10
         ),
+        # exhaustive probing (nprobe = n_clusters) so the IVF machinery is
+        # value-exact against the brute-force oracle; partial-probe recall
+        # is covered by tests/test_simsearch.py::test_ivf_recall
         "ivf_topk": lambda s, d: ivf_topk(
-            src.load(s, d, "embeddings"), n_queries=16, k=10, nprobe=16
+            src.load(s, d, "embeddings"), n_queries=16, k=10,
+            n_clusters=16, nprobe=16
         ),
         # general relational surface (SURVEY.md §2.9, north-rule additions)
         "pricing_rollup": lambda s, d: _rel.pricing_rollup(
@@ -322,19 +351,20 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _ts.quality_score_sql("documents"),
         "fingerprint": _ts.fingerprint_sql("documents"),
         "dedup_exact": _dd.dedup_exact_sql("documents"),
-        "ngram_jaccard": _dd.ngram_jaccard_pairs_sql("documents", threshold=0.2),
+        "ngram_jaccard": _dd.ngram_jaccard_pairs_sql(
+            "documents", threshold=0.2, max_df=_MAX_DF
+        ),
+        "minhash_lsh": _expected_parquet_sql("minhash_lsh", "a, b, jaccard"),
+        "simhash_dedup": _expected_parquet_sql("simhash_dedup", "a, b, hamming"),
         "cosine_topk": cosine_topk_sql("embeddings", 16, 10),
+        "ivf_topk": cosine_topk_sql("embeddings", 16, 10),
         "pricing_rollup": _rel.pricing_rollup_sql(),
         "customers_with_orders": _rel.customers_with_orders_sql(),
         "customers_without_orders": _rel.customers_without_orders_sql(),
         "events_json_extract": _rel.events_json_extract_sql(),
         "orders_monthly": _rel.orders_monthly_sql(),
-        # approx_distinct_parts: sketch-based -> rows-only (pytest bounds it)
+        "approx_distinct_parts": _rel.approx_distinct_parts_sql(),
         "windowed_type_counts": _win.windowed_type_counts_sql(),
         "sessionize": _win.sessionize_sql(),
         "lineitem_pricing_summary": _win.lineitem_pricing_summary_sql(),
-        # minhash_lsh / simhash_dedup / ivf_topk: JVM-hash / UDF-based —
-        # not SQL-expressible; driver records rows-only (pytest has exact
-        # pandas/NumPy oracles for them, tests/test_dedup.py,
-        # tests/test_simsearch.py)
     }

@@ -182,7 +182,7 @@ def main() -> None:
             "xmin", "ymin", "xmax", "ymax"),
         src.range_queries(spark, sf_dir, "documents", ratio=15)))
     timed("minhash_lsh", lambda: minhash_lsh_pairs(
-        src.load(spark, sf_dir, "documents"), threshold=0.2))
+        src.load(spark, sf_dir, "documents"), threshold=0.2, max_df=20))
     timed("cosine_topk", lambda: cosine_topk(
         src.load(spark, sf_dir, "embeddings"), n_queries=16, k=10))
 

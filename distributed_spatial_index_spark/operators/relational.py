@@ -108,11 +108,28 @@ def orders_monthly_sql() -> str:
     """
 
 
-def approx_distinct_parts(lineitem: DataFrame, rsd: float = 0.02) -> DataFrame:
-    """Approximate distinct count (HLL) with the exact count beside it —
-    rows-only at the gate (sketches are engine-specific by nature); the
-    pytest oracle asserts the relative error bound."""
+def approx_distinct_parts(
+    lineitem: DataFrame, rsd: float = 0.02, bound_factor: float = 5.0
+) -> DataFrame:
+    """Approximate distinct count (HLL) checked against the exact count:
+    emits (exact_parts, within_bound) where within_bound asserts the sketch
+    landed within ``bound_factor * rsd`` of the truth.  The raw sketch value
+    is engine-specific (not SQL-oracle-able), but this contract IS: the
+    oracle expects (exact count, true), so a drifting sketch fails the
+    driver gate loudly."""
+    approx = F.approx_count_distinct("l_partkey", rsd)
+    exact = F.countDistinct("l_partkey")
     return lineitem.agg(
-        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        exact.alias("exact_parts"),
+        (
+            F.abs(approx - exact)
+            <= F.lit(bound_factor * rsd) * exact
+        ).alias("within_bound"),
+    )
+
+
+def approx_distinct_parts_sql() -> str:
+    return (
+        "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts, "
+        "true AS within_bound FROM lineitem"
     )

