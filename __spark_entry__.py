@@ -34,7 +34,10 @@ from distributed_spatial_index_spark.operators.pip_join import (
     triangle_pip_oracle_sql,
     triangle_polygons,
 )
-from distributed_spatial_index_spark.operators.range_join import point_range_join
+from distributed_spatial_index_spark.operators.range_join import (
+    horizon_range_join_sql,
+    point_range_join,
+)
 from distributed_spatial_index_spark.operators.tiles import (
     assign_tiles,
     assign_tiles_sql,
@@ -148,6 +151,20 @@ def _q_segment_former(spark: SparkSession, sf_dir: str) -> DataFrame:
     return form_segments(src.trajectory_points(spark, sf_dir))
 
 
+def _q_horizon_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the 8-window logical-horizon join; the streaming twin
+    (streaming_horizon_range_join) is proven identical in
+    tests/test_streaming.py."""
+    from distributed_spatial_index_spark.operators.range_join import (
+        horizon_range_join,
+    )
+
+    pts = src.geo_points(spark, sf_dir, _GEO_TABLE).withColumn(
+        "ts", F.timestamp_millis(F.col("ts"))
+    )
+    return horizon_range_join(pts, src.range_queries(spark, sf_dir, _GEO_TABLE))
+
+
 def _q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row invariant at the gate: doc_ids of surviving documents whose
     span sequence (kind, text, media_ref, order) differs from the input —
@@ -204,6 +221,35 @@ def _q_local_index_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_str_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join routed through the STR (Sort-Tile-Recursive) frame end to
+    end: driver-side coordinate sample -> STR packing -> sorted-cell-range
+    map -> co-located per-partition index probe (XieGlobalPF.java:28-39 /
+    XieLocalPF.java:49-54 architecture).  Same semantics as range_join, so
+    the same oracle verifies the whole STR path."""
+    import numpy as np
+
+    from distributed_spatial_index_spark.config import DEFAULT_REGION
+    from distributed_spatial_index_spark.operators.local_index import (
+        local_index_range_join,
+    )
+    from distributed_spatial_index_spark.plans.grid import build_str_index
+
+    pts = src.geo_points(spark, sf_dir, _GEO_TABLE)
+    sample = np.array(
+        [(r["x"], r["y"])
+         for r in pts.filter((F.col("id") % 37) == 1).limit(5000).collect()]
+    )
+    grid = build_str_index(
+        sample, num_partitions=8, bits=6,
+        region_width=DEFAULT_REGION.width, region_height=DEFAULT_REGION.height,
+        x_lo=DEFAULT_REGION.x_lo, y_lo=DEFAULT_REGION.y_lo,
+    )
+    return local_index_range_join(
+        pts, src.range_queries(spark, sf_dir, _GEO_TABLE), grid
+    )
+
+
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn(
         src.unique_geo_points(spark, sf_dir, _GEO_TABLE),
@@ -228,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": lambda s, d: tile_pyramid(src.geo_points(s, d, _GEO_TABLE)),
         "density_grid": _q_density_grid,
         "local_index_range_join": _q_local_index_range_join,
+        "str_range_join": _q_str_range_join,
         "multires_range_join": _q_multires_range_join,
         "knn": _q_knn,
         "pip_join": _q_pip_join,
@@ -239,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_extract": _q_span_extract,
         "interleaved_range_join": _q_interleaved_range_join,
         "segment_former": _q_segment_former,
+        "horizon_range_join": _q_horizon_range_join,
         "span_invariant": _q_span_invariant,
         # training-data pipeline ops (documents / embeddings tables)
         "token_count": lambda s, d: _ts.token_count(src.load(s, d, "documents")),
@@ -321,6 +369,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.x >= q.xmin - {EPSILON!r} AND p.x <= q.xmax + {EPSILON!r}
               AND p.y >= q.ymin - {EPSILON!r} AND p.y <= q.ymax + {EPSILON!r}
         """,
+        # STR routing is a physical strategy; result set == range_join
+        "str_range_join": f"""
+            SELECT DISTINCT q.query_id, p.id AS doc_id
+            FROM ({pts}) p, ({qs}) q
+            WHERE p.x >= q.xmin - {EPSILON!r} AND p.x <= q.xmax + {EPSILON!r}
+              AND p.y >= q.ymin - {EPSILON!r} AND p.y <= q.ymax + {EPSILON!r}
+        """,
         "query_gen": qs,
         "tile_assignment": assign_tiles_sql(pts),
         "tile_counts": tile_counts_sql(pts),
@@ -343,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
                 ('q.xmin', 'q.ymin', 'q.xmax', 'q.ymax'))}
         """,
         "segment_former": segments_sql(src.trajectory_points_sql()),
+        "horizon_range_join": horizon_range_join_sql(pts, qs),
         # invariant holds <=> both sides are empty with the same schema
         "span_invariant": "SELECT CAST(doc_id AS VARCHAR) AS doc_id "
                           "FROM documents WHERE 1 = 0",

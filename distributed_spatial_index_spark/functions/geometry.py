@@ -91,3 +91,63 @@ def mercator_xy_np(lon, lat):
     x = np.radians(lon) * _MERCATOR_R
     y = np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0)) * _MERCATOR_R
     return x, y
+
+
+# --- the reference's exact ellipsoidal Mercator (ClassMct.java) -------------
+
+# WGS-84 axes in km and the DIDI-CD frame: standard latitude 30 deg,
+# central meridian ~104 deg E (Chengdu) — ClassMct.java:9-12.
+_MCT_A = 6378.137
+_MCT_B = 6356.752314
+_MCT_B0 = 0.5235987755982988
+_MCT_L0 = 1.8151424220741026
+
+import math as _math  # noqa: E402
+
+_MCT_E = _math.sqrt(1.0 - (_MCT_B / _MCT_A) * (_MCT_B / _MCT_A))
+_MCT_E2 = _math.sqrt((_MCT_A / _MCT_B) * (_MCT_A / _MCT_B) - 1.0)
+_MCT_NB0 = ((_MCT_A * _MCT_A) / _MCT_B) / _math.sqrt(
+    1.0 + _MCT_E2 * _MCT_E2 * _math.cos(_MCT_B0) * _math.cos(_MCT_B0)
+)
+_MCT_K = _MCT_NB0 * _math.cos(_MCT_B0)
+_MCT_Y0 = _MCT_K * _math.log(
+    _math.tan(_math.pi / 4.0 + _MCT_B0 / 2.0)
+    * ((1.0 - _MCT_E * _math.sin(_MCT_B0)) / (1.0 + _MCT_E * _math.sin(_MCT_B0)))
+    ** (_MCT_E / 2.0)
+)
+
+
+def lbtoxy(lat: Column, lon: Column) -> tuple[Column, Column]:
+    """The reference's ellipsoidal Mercator, op-for-op
+    (ClassMct.LBToXY, ClassMct.java:38-99): x = 1000*K*(L-L0),
+    y = 1000*K*(m(B) - m(B0)) with m the isometric-latitude term; meters.
+    The derived constants (e, K, y0) are precomputed driver-side in the
+    same double arithmetic the Java runs."""
+    B = F.radians(lat)
+    L = F.radians(lon)
+    s = F.sin(B)
+    m = F.log(
+        F.tan(F.lit(_math.pi / 4.0) + B / F.lit(2.0))
+        * F.pow(
+            (F.lit(1.0) - F.lit(_MCT_E) * s) / (F.lit(1.0) + F.lit(_MCT_E) * s),
+            F.lit(_MCT_E / 2.0),
+        )
+    )
+    x = F.lit(_MCT_K) * (L - F.lit(_MCT_L0)) * F.lit(1000.0)
+    y = (F.lit(_MCT_K) * m - F.lit(_MCT_Y0)) * F.lit(1000.0)
+    return x, y
+
+
+def lbtoxy_np(lat, lon):
+    import numpy as np
+
+    B = np.radians(lat)
+    L = np.radians(lon)
+    s = np.sin(B)
+    m = np.log(
+        np.tan(np.pi / 4.0 + B / 2.0)
+        * ((1.0 - _MCT_E * s) / (1.0 + _MCT_E * s)) ** (_MCT_E / 2.0)
+    )
+    x = _MCT_K * (L - _MCT_L0) * 1000.0
+    y = (_MCT_K * m - _MCT_Y0) * 1000.0
+    return x, y

@@ -52,38 +52,49 @@ def local_index_range_join(
     pts = with_partition_col(points, grid, region=region)
 
     # route each query to every grid partition its (padded) rect overlaps:
-    # compute covering fine cells in NumPy, map to pids, explode distinct
+    # covering fine cells via the padded-ragged-expansion trick (qi = repeat
+    # by per-query cell count), cells -> pids by one searchsorted over the
+    # whole batch, distinct (query, pid) by integer-encoded np.unique —
+    # no per-row Python.
     def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         starts, pids, bits = bc.value
         n = 1 << bits
+        cw = region.width / n
+        ch = region.height / n
+        n_pids = int(pids.max()) + 1 if len(pids) else 1
         for pdf in batches:
             if pdf.empty:
                 continue
-            out_rows = []
-            cw = region.width / n
-            ch = region.height / n
-            for row in pdf.itertuples(index=False):
-                x0 = int(np.clip((row.xmin - eps - region.x_lo) / cw, 0, n - 1))
-                x1 = int(np.clip((row.xmax + eps - region.x_lo) / cw, 0, n - 1))
-                y0 = int(np.clip((row.ymin - eps - region.y_lo) / ch, 0, n - 1))
-                y1 = int(np.clip((row.ymax + eps - region.y_lo) / ch, 0, n - 1))
-                cx, cy = np.meshgrid(
-                    np.arange(x0, x1 + 1), np.arange(y0, y1 + 1), indexing="ij"
-                )
-                codes = morton_np(cx.ravel(), cy.ravel(), bits)
-                idx = np.clip(
-                    np.searchsorted(starts, codes, side="right") - 1,
-                    0, len(starts) - 1,
-                )
-                for p in np.unique(pids[idx]):
-                    out_rows.append(
-                        (int(p), row.query_id, row.xmin, row.ymin,
-                         row.xmax, row.ymax)
-                    )
-            yield pd.DataFrame(
-                out_rows,
-                columns=["pid", "query_id", "xmin", "ymin", "xmax", "ymax"],
+            xmin = pdf["xmin"].to_numpy()
+            ymin = pdf["ymin"].to_numpy()
+            xmax = pdf["xmax"].to_numpy()
+            ymax = pdf["ymax"].to_numpy()
+            # clip-then-truncate == the scalar int(np.clip(...)) semantics
+            x0 = np.clip((xmin - eps - region.x_lo) / cw, 0, n - 1).astype(np.int64)
+            x1 = np.clip((xmax + eps - region.x_lo) / cw, 0, n - 1).astype(np.int64)
+            y0 = np.clip((ymin - eps - region.y_lo) / ch, 0, n - 1).astype(np.int64)
+            y1 = np.clip((ymax + eps - region.y_lo) / ch, 0, n - 1).astype(np.int64)
+            counts = (x1 - x0 + 1) * (y1 - y0 + 1)
+            qi = np.repeat(np.arange(len(pdf)), counts)
+            row_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            off = np.arange(int(counts.sum())) - row_start[qi]
+            ny = (y1 - y0 + 1)[qi]
+            cx = x0[qi] + off // ny
+            cy = y0[qi] + off % ny
+            codes = morton_np(cx, cy, bits)
+            idx = np.clip(
+                np.searchsorted(starts, codes, side="right") - 1,
+                0, len(starts) - 1,
             )
+            enc = np.unique(qi * n_pids + pids[idx])
+            uqi = enc // n_pids
+            upid = enc % n_pids
+            yield pd.DataFrame({
+                "pid": upid.astype(np.int64),
+                "query_id": pdf["query_id"].to_numpy()[uqi],
+                "xmin": xmin[uqi], "ymin": ymin[uqi],
+                "xmax": xmax[uqi], "ymax": ymax[uqi],
+            })
 
     routed_q = queries.select("query_id", "xmin", "ymin", "xmax", "ymax").mapInPandas(
         route,
@@ -101,18 +112,25 @@ def local_index_range_join(
         xs = pdfs["x"].to_numpy()[order]
         ys = pdfs["y"].to_numpy()[order]
         ids = pdfs["id"].to_numpy()[order]
-        out_q = []
-        out_d = []
-        for row in qdfs.itertuples(index=False):
-            lo = np.searchsorted(xs, row.xmin - eps, side="left")
-            hi = np.searchsorted(xs, row.xmax + eps, side="right")
-            m = (ys[lo:hi] >= row.ymin - eps) & (ys[lo:hi] <= row.ymax + eps)
-            hits = ids[lo:hi][m]
-            out_q.append(np.full(len(hits), row.query_id, dtype=np.int64))
-            out_d.append(hits)
+        # all queries' x-range cuts in two batched searchsorted calls, then
+        # one ragged gather (flat = per-query arange stitched by repeat) for
+        # the y refine — the whole partition answers in array ops
+        qid = qdfs["query_id"].to_numpy()
+        lo = np.searchsorted(xs, qdfs["xmin"].to_numpy() - eps, side="left")
+        hi = np.searchsorted(xs, qdfs["xmax"].to_numpy() + eps, side="right")
+        lens = hi - lo
+        qi = np.repeat(np.arange(len(qdfs)), lens)
+        flat = (
+            np.arange(int(lens.sum()))
+            - np.repeat(np.cumsum(lens) - lens, lens)
+            + np.repeat(lo, lens)
+        )
+        m = (ys[flat] >= qdfs["ymin"].to_numpy()[qi] - eps) & (
+            ys[flat] <= qdfs["ymax"].to_numpy()[qi] + eps
+        )
         return pd.DataFrame({
-            "query_id": np.concatenate(out_q) if out_q else [],
-            "doc_id": np.concatenate(out_d) if out_d else [],
+            "query_id": qid[qi][m],
+            "doc_id": ids[flat][m],
         })
 
     joined = (

@@ -29,6 +29,8 @@ from distributed_spatial_index_spark.config import (
     DEFAULT_REGION,
     EPSILON,
     JOIN_BITS,
+    LOGIC_WINDOW,
+    WINDOW_MS,
     Region,
 )
 from distributed_spatial_index_spark.functions.cells import (
@@ -107,6 +109,80 @@ def point_range_join(
         joined.select(F.col("query_id"), F.col("id").alias("doc_id"))
         .dropDuplicates(["query_id", "doc_id"])
     )
+
+
+def horizon_range_join(
+    points: DataFrame,
+    queries: DataFrame,
+    horizon_windows: int = LOGIC_WINDOW,
+    window_ms: int = WINDOW_MS,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+) -> DataFrame:
+    """The reference's production query semantics: each window-end answers
+    queries over the trailing ``horizon_windows`` tumbling windows of docs
+    (LocalTreePF.java:69,93-103 — the logical sliding window that evicts
+    docs older than 8 windows).
+
+    Declarative form: a SLIDING event-time window of length
+    horizon*window sliding by one window — each matched doc contributes to
+    exactly the window-ends that should still "remember" it; no mutable
+    index eviction.  ``points.ts`` must be a timestamp column.  Returns
+    (win_start, query_id, doc_id) — the per-horizon result SET
+    (dropDuplicates = the merge stage's HashSet, QueryResultPF.java:44-48).
+
+    The same plan body is the streaming query in
+    streaming/stream_join.py::streaming_horizon_range_join; batch==stream
+    parity is asserted by tests/test_streaming.py.
+    """
+    pts = points.withColumn(
+        "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
+    )
+    q = F.broadcast(explode_query_cells(queries, bits, region, eps))
+    matched = pts.join(q, "cell").filter(
+        rect_contains_point(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            F.col("x"), F.col("y"), eps,
+        )
+    )
+    win = F.window(
+        F.col("ts"),
+        f"{horizon_windows * window_ms // 1000} seconds",
+        f"{window_ms // 1000} seconds",
+    )
+    return (
+        matched.withColumn("win", win)
+        .select(
+            F.col("win.start").alias("win_start"),
+            "query_id",
+            F.col("id").alias("doc_id"),
+        )
+        .dropDuplicates(["win_start", "query_id", "doc_id"])
+    )
+
+
+def horizon_range_join_sql(
+    points_sql: str,
+    queries_sql: str,
+    horizon_windows: int = LOGIC_WINDOW,
+    window_ms: int = WINDOW_MS,
+    eps: float = EPSILON,
+) -> str:
+    """DuckDB twin: sliding windows are the epoch-aligned window starts
+    s = (floor(ts/window) - j) * window for j in 0..horizon-1 (Spark's
+    window() alignment with startTime=0)."""
+    return f"""
+        SELECT DISTINCT
+               epoch_ms((CAST(floor(p.ts / {window_ms}) AS BIGINT) - j)
+                        * {window_ms}) AS win_start,
+               q.query_id, p.id AS doc_id
+        FROM ({points_sql}) p,
+             ({queries_sql}) q,
+             unnest(range(0, {horizon_windows})) AS t(j)
+        WHERE p.x >= q.xmin - {eps!r} AND p.x <= q.xmax + {eps!r}
+          AND p.y >= q.ymin - {eps!r} AND p.y <= q.ymax + {eps!r}
+    """
 
 
 def multires_range_join(

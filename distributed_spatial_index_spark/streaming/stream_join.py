@@ -27,6 +27,7 @@ from distributed_spatial_index_spark.config import (
     DEFAULT_REGION,
     EPSILON,
     JOIN_BITS,
+    LOGIC_WINDOW,
     MAX_SEGMENT,
     Region,
     WINDOW_MS,
@@ -68,6 +69,51 @@ def streaming_point_range_join(
             "query_id",
             "n_matches",
         )
+    )
+
+
+def streaming_horizon_range_join(
+    doc_stream: DataFrame,
+    queries: DataFrame,
+    horizon_windows: int = LOGIC_WINDOW,
+    window_ms: int = WINDOW_MS,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+) -> DataFrame:
+    """The reference's 8-window logical horizon IN the stream
+    (LocalTreePF.java:69,93-103): every window-end answers queries over the
+    trailing ``horizon_windows`` windows of docs.  Expressed as a SLIDING
+    event-time window over the matched stream — a doc stays visible to
+    exactly the next ``horizon_windows`` window-ends and then ages out of
+    state via the watermark, which IS the reference's eviction, handled by
+    Spark's state store instead of a mutable tree.
+
+    Dedup-by-aggregation (groupBy the window + pair, append mode) so state
+    eviction is watermark-driven; emits (win_start, query_id, doc_id) —
+    per-horizon result SETS, identical to the batch
+    operators.range_join.horizon_range_join (parity proven in
+    tests/test_streaming.py).
+    """
+    pts = doc_stream.withWatermark("ts", "0 seconds").withColumn(
+        "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
+    )
+    q = F.broadcast(explode_query_cells(queries, bits, region, eps))
+    matched = pts.join(q, "cell").filter(
+        rect_contains_point(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            F.col("x"), F.col("y"), eps,
+        )
+    )
+    win = F.window(
+        F.col("ts"),
+        f"{horizon_windows * window_ms // 1000} seconds",
+        f"{window_ms // 1000} seconds",
+    )
+    return (
+        matched.groupBy(win.alias("win"), "query_id", F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(F.col("win.start").alias("win_start"), "query_id", "doc_id")
     )
 
 

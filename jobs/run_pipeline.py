@@ -22,6 +22,10 @@ import argparse
 import os
 import sys
 
+# allow `python jobs/run_pipeline.py` straight from a checkout (spark-submit
+# deployments ship the package via --py-files engine.zip instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -78,14 +82,27 @@ def main() -> None:
         "placed", lambda: grid_repartition(centers, grid), lineage_key="pid"
     )
 
-    qs = src.range_queries(spark, args.data, "documents", ratio=15)
+    from distributed_spatial_index_spark.operators.latency import (
+        result_latency,
+        stamp_wallclock,
+    )
+
+    # input stamp where queries enter the plan (QueryResult.java:12-26)
+    qs = stamp_wallclock(
+        src.range_queries(spark, args.data, "documents", ratio=15), "input_ms"
+    )
     joined = ck.step(
         "range_join",
         lambda: mbr_range_join(
             geo.select(F.col("doc_id").cast("long").alias("id"),
                        "xmin", "ymin", "xmax", "ymax"),
-            qs,
+            qs.select("query_id", "xmin", "ymin", "xmax", "ymax"),
         ),
+        lineage_key="query_id",
+    )
+    latency = ck.step(
+        "query_latency",
+        lambda: result_latency(joined, qs),
         lineage_key="query_id",
     )
     tiles = ck.step(
@@ -93,6 +110,7 @@ def main() -> None:
     )
 
     print("range_join rows:", joined.count())
+    print("per-query latency rows:", latency.count())
     print("tile rows:", tiles.count())
     print("metrics:")
     ck.metrics().orderBy("seq").show(50, truncate=False)

@@ -97,6 +97,52 @@ def test_streaming_range_join_matches_batch(spark):
         assert got == expect and len(got) > 0
 
 
+def test_streaming_horizon_range_join_matches_batch(spark):
+    """The 8-window logical horizon (LocalTreePF.java:69,93-103): replaying
+    the same docs through the streaming sliding-horizon join must produce
+    exactly the batch horizon_range_join's per-window (query, doc) sets."""
+    import datetime
+
+    from distributed_spatial_index_spark.operators.range_join import (
+        horizon_range_join,
+    )
+    from distributed_spatial_index_spark.streaming.stream_join import (
+        streaming_horizon_range_join,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        pts = src.geo_points(spark, SF_DIR, "lineitem").withColumn(
+            "ts", F.timestamp_millis(F.col("ts"))
+        )
+        pdf = pts.orderBy("ts", "id").toPandas()
+        third = len(pdf) // 3
+        for i in range(3):
+            chunk = pdf.iloc[i * third: None if i == 2 else (i + 1) * third]
+            spark.createDataFrame(chunk, schema=pts.schema).coalesce(1).write.mode(
+                "overwrite").parquet(f"{d}/pts/chunk{i}")
+        # flush rows: advance the watermark past the last horizon window so
+        # append mode emits everything (off-region -> no matches)
+        for i, hrs in enumerate([4, 5]):
+            flush = spark.createDataFrame(
+                [(-1, -1e6, -1e6,
+                  datetime.datetime(2016, 11, 1) + datetime.timedelta(hours=hrs))],
+                "id long, x double, y double, ts timestamp",
+            )
+            flush.coalesce(1).write.mode("overwrite").parquet(f"{d}/pts/chunk{3 + i}")
+        stream = spark.readStream.schema(pts.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{d}/pts/chunk*/")
+        qs = src.range_queries(spark, SF_DIR, "lineitem")
+
+        _run_stream(streaming_horizon_range_join(stream, qs), "shrj")
+        got = sorted(
+            map(tuple, spark.sql(
+                "SELECT win_start, query_id, doc_id FROM shrj").collect())
+        )
+        expect = sorted(map(tuple, horizon_range_join(pts, qs).collect()))
+        assert got == expect and len(got) > 0
+
+
 def test_streaming_segment_former_matches_batch(spark):
     with tempfile.TemporaryDirectory() as d:
         traj = src.trajectory_points(spark, SF_DIR)
