@@ -67,6 +67,8 @@ from distributed_spatial_index_spark.operators import textstats as _ts
 from distributed_spatial_index_spark.operators.simsearch import (
     cosine_topk,
     cosine_topk_sql,
+    embedding_dup_pairs,
+    embedding_dup_pairs_sql,
     ivf_topk,
 )
 
@@ -314,6 +316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             src.load(s, d, "embeddings"), n_queries=16, k=10,
             n_clusters=16, nprobe=16
         ),
+        # exact near-dup by cosine (ball-bound bucket-pair blocking)
+        "embedding_dup_pairs": lambda s, d: embedding_dup_pairs(
+            src.load(s, d, "embeddings"), threshold=0.3
+        ),
         # general relational surface (SURVEY.md §2.9, north-rule additions)
         "pricing_rollup": lambda s, d: _rel.pricing_rollup(
             src.load(s, d, "lineitem")
@@ -414,6 +420,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _expected_parquet_sql("simhash_dedup", "a, b, hamming"),
         "cosine_topk": cosine_topk_sql("embeddings", 16, 10),
         "ivf_topk": cosine_topk_sql("embeddings", 16, 10),
+        "embedding_dup_pairs": embedding_dup_pairs_sql(
+            "embeddings", threshold=0.3
+        ),
         "pricing_rollup": _rel.pricing_rollup_sql(),
         "customers_with_orders": _rel.customers_with_orders_sql(),
         "customers_without_orders": _rel.customers_without_orders_sql(),

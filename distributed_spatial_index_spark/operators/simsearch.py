@@ -101,6 +101,116 @@ def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
     return cent
 
 
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b): all pairs with cosine similarity >= threshold — EXACT, with
+    k-means ball-bound blocking (embedding-cosine near-dup for training-data
+    pipelines).
+
+    Exactness: cos(x,y) >= t  <=>  ||x_n - y_n|| <= d = sqrt(2-2t) on the
+    normalized vectors, and by the triangle inequality such a pair can only
+    span buckets (i, j) with ||c_i - c_j|| <= d + r_i + r_j (r = bucket
+    radius).  So only NEAR bucket pairs are joined — far pairs are pruned
+    with zero recall loss.  At 100 TB: one shuffle on the bucket-pair key,
+    per-pair fan-out bounded by each bucket's near-neighbor count; the
+    all-pairs quadratic never materializes unless the data is one tight
+    ball (in which case it IS the answer).
+    """
+    import math
+
+    spark = emb.sparkSession
+    sample = np.vstack([
+        np.asarray(r[vec_col], dtype=np.float64)
+        for r in emb.select(vec_col).limit(20000).collect()
+    ])
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = np.where(norms > 0, sample / np.where(norms == 0, 1, norms), 0.0)
+    cent = _kmeans(sample, n_clusters)
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("struct<bucket:int, r:double>")
+    def _assign_r(v: pd.Series) -> pd.DataFrame:
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        nn = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = np.where(nn > 0, V / np.where(nn == 0, 1, nn), 0.0)
+        c = bc.value
+        d = np.sqrt(((Vn[:, None, :] - c[None, :, :]) ** 2).sum(-1))
+        b = d.argmin(1)
+        return pd.DataFrame({
+            "bucket": b.astype(np.int32),
+            "r": d[np.arange(len(b)), b],
+        })
+
+    docs = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("br", _assign_r(F.col("vec"))).select(
+        "vid", "vec", F.col("br.bucket").alias("bucket"), F.col("br.r").alias("r")
+    ).persist()  # radii action + both join sides read it; stays cached
+    # for the (lazy) result's lifetime — Spark evicts LRU under pressure
+    radii = {
+        r["bucket"]: r["rmax"]
+        for r in docs.groupBy("bucket").agg(F.max("r").alias("rmax")).collect()
+    }
+
+    d_max = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
+    cdist = np.sqrt(((cent[:, None, :] - cent[None, :, :]) ** 2).sum(-1))
+    pair_rows = []
+    pk = 0
+    for i in sorted(radii):
+        for j in sorted(radii):
+            if j < i:
+                continue
+            if cdist[i, j] <= d_max + radii[i] + radii[j]:
+                pair_rows.append((pk, i, j))
+                pk += 1
+    pairs_df = spark.createDataFrame(pair_rows, "pk long, ba int, bb int")
+
+    left = docs.join(
+        F.broadcast(pairs_df), docs["bucket"] == pairs_df["ba"]
+    ).select("pk", "ba", "bb", F.col("vid").alias("xid"), F.col("vec").alias("xv"))
+    right = docs.join(
+        F.broadcast(pairs_df.select("pk", "bb").withColumnRenamed("bb", "b2")),
+        docs["bucket"] == F.col("b2"),
+    ).select(F.col("pk").alias("pk2"), F.col("vid").alias("yid"),
+             F.col("vec").alias("yv"))
+    cos = _cos_udf()
+    cand = (
+        left.join(right, left["pk"] == right["pk2"])
+        # each unordered pair appears once for ba<bb (any id order) and
+        # twice for ba==bb (both orders) -> keep exactly one occurrence
+        .filter((F.col("ba") < F.col("bb")) | (F.col("xid") < F.col("yid")))
+        .filter(F.col("xid") != F.col("yid"))
+        .withColumn("sim", cos(F.col("xv"), F.col("yv")))
+        .filter(F.col("sim") >= F.lit(threshold))
+    )
+    out = cand.select(
+        F.least("xid", "yid").alias("a"), F.greatest("xid", "yid").alias("b")
+    )
+    return out
+
+
+def embedding_dup_pairs_sql(
+    table: str = "embeddings", threshold: float = 0.3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """Brute-force DuckDB twin (similarity scores are not output: raw float
+    sums are not ULP-stable across engines, pair membership at a threshold
+    away from any pair's value is)."""
+    return f"""
+        SELECT a.{id_col} AS a, b.{id_col} AS b
+        FROM {table} a, {table} b
+        WHERE a.{id_col} < b.{id_col}
+          AND list_cosine_similarity(CAST(a.{vec_col} AS DOUBLE[]),
+                                     CAST(b.{vec_col} AS DOUBLE[]))
+              >= {threshold!r}
+    """
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 16,

@@ -60,3 +60,32 @@ def test_ivf_recall(spark):
     full = {tuple(r) for r in
             ivf_topk(emb, n_queries=16, k=10, n_clusters=16, nprobe=16).collect()}
     assert full == exact
+
+def test_embedding_dup_pairs_vs_duckdb(spark, ddb):
+    from distributed_spatial_index_spark.operators.simsearch import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_sql,
+    )
+
+    emb = src.load(spark, SF_DIR, "embeddings")
+    got = embedding_dup_pairs(emb, threshold=0.3)
+    rows = ddb.execute(embedding_dup_pairs_sql("embeddings", 0.3)).fetchall()
+    assert_same_rows(got, rows)
+    assert len(rows) > 0  # the gate is non-trivial at this threshold
+
+
+def test_embedding_dup_pairs_blocking_is_lossless(spark):
+    """Ball-bound bucket-pair pruning must equal the unblocked run
+    (n_clusters=1 compares everything)."""
+    from distributed_spatial_index_spark.operators.simsearch import (
+        embedding_dup_pairs,
+    )
+
+    emb = src.load(spark, SF_DIR, "embeddings")
+    blocked = sorted(
+        map(tuple, embedding_dup_pairs(emb, threshold=0.35, n_clusters=16).collect())
+    )
+    unblocked = sorted(
+        map(tuple, embedding_dup_pairs(emb, threshold=0.35, n_clusters=1).collect())
+    )
+    assert blocked == unblocked and len(blocked) > 0
