@@ -296,6 +296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, d: _ts.quality_score(src.load(s, d, "documents")),
         "fingerprint": lambda s, d: _ts.fingerprint(src.load(s, d, "documents")),
         "dedup_exact": lambda s, d: _dd.dedup_exact(src.load(s, d, "documents")),
+        # composed corpus-prep pipeline: lang filter + quality + dedup
+        "clean_corpus": lambda s, d: _ts.clean_corpus(src.load(s, d, "documents")),
         # max_df on: the scale guard the ops ship with is the one graded
         "ngram_jaccard": lambda s, d: _dd.ngram_jaccard_pairs(
             src.load(s, d, "documents"), threshold=0.2, max_df=_MAX_DF
@@ -413,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _ts.quality_score_sql("documents"),
         "fingerprint": _ts.fingerprint_sql("documents"),
         "dedup_exact": _dd.dedup_exact_sql("documents"),
+        "clean_corpus": _ts.clean_corpus_sql("documents"),
         "ngram_jaccard": _dd.ngram_jaccard_pairs_sql(
             "documents", threshold=0.2, max_df=_MAX_DF
         ),

@@ -120,6 +120,55 @@ def quality_score_sql(table: str = "documents", text_col: str = "text") -> str:
     )
 
 
+def clean_corpus(
+    docs: DataFrame,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.35,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, lang_pred, n_tokens, quality): the standard corpus-prep
+    composition — language filter + quality threshold + exact dedup
+    (canonical doc per fingerprint group survives).  Everything stays
+    JVM-side; the only shuffles are the dedup group-by and the semi-join
+    back, both on well-distributed keys.  The point of this op is that the
+    pipeline pieces COMPOSE declaratively: Catalyst fuses the three
+    per-doc scans into one."""
+    from distributed_spatial_index_spark.operators.dedup import dedup_exact
+
+    lang = lang_id(docs, text_col)
+    q = quality_score(docs, text_col)
+    canon = dedup_exact(docs, text_col).filter(~F.col("is_duplicate"))
+    return (
+        lang.join(q, "doc_id")
+        .filter(
+            F.col("lang_pred").isin(*langs)
+            & (F.col("quality") >= F.lit(min_quality))
+        )
+        .join(canon.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "lang_pred", "n_tokens", "quality")
+    )
+
+
+def clean_corpus_sql(
+    table: str = "documents",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.35,
+    text_col: str = "text",
+) -> str:
+    from distributed_spatial_index_spark.operators.dedup import dedup_exact_sql
+
+    in_list = ", ".join(f"'{la}'" for la in langs)
+    return f"""
+        WITH lang AS ({lang_id_sql(table, text_col)}),
+             q AS ({quality_score_sql(table, text_col)}),
+             d AS ({dedup_exact_sql(table, text_col)})
+        SELECT doc_id, lang_pred, n_tokens, quality
+        FROM lang JOIN q USING (doc_id)
+        WHERE lang_pred IN ({in_list}) AND quality >= {min_quality!r}
+          AND doc_id IN (SELECT doc_id FROM d WHERE NOT is_duplicate)
+    """
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp): md5 of the normalized text (lower + trim) — the exact
     dedup key."""

@@ -35,3 +35,16 @@ def test_lang_id_markers(spark):
     )
     got = {r["doc_id"]: r["lang_pred"] for r in ts.lang_id(docs).collect()}
     assert got == {1: "de", 2: "en", 3: "und"}
+
+
+def test_clean_corpus_vs_duckdb(spark, ddb):
+    from distributed_spatial_index_spark.operators.textstats import (
+        clean_corpus,
+        clean_corpus_sql,
+    )
+
+    got = clean_corpus(src.load(spark, SF_DIR, "documents"))
+    rows = ddb.execute(clean_corpus_sql("documents")).fetchall()
+    assert_same_rows(got, rows)
+    n = got.count()
+    assert 0 < n < 500  # the filters actually filter
