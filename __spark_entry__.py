@@ -46,7 +46,6 @@ from distributed_spatial_index_spark.operators.tiles import (
     tile_pyramid,
     tile_pyramid_sql,
 )
-from distributed_spatial_index_spark.config import EPSILON as _EPS
 from distributed_spatial_index_spark.operators.range_join import mbr_range_join
 from distributed_spatial_index_spark.operators.segments import (
     form_segments,

@@ -28,10 +28,9 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from distributed_spatial_index_spark.config import DEFAULT_REGION, EPSILON, Region
-from distributed_spatial_index_spark.functions.cells import cell_id_np, morton_np
+from distributed_spatial_index_spark.functions.cells import morton_np
 from distributed_spatial_index_spark.plans.grid import GridIndex
 from distributed_spatial_index_spark.plans.partitioning import with_partition_col
 
