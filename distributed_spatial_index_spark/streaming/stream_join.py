@@ -117,6 +117,56 @@ def streaming_horizon_range_join(
     )
 
 
+def streaming_range_join_with_latency(
+    doc_stream: DataFrame,
+    queries: DataFrame,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+) -> DataFrame:
+    """streaming_point_range_join carrying the reference's latency surface
+    IN the stream (QueryResult.java:12-26 / QueryResultPF.java:44-51):
+    docs are wall-clock-stamped on ingest (arrival time, per Arrow batch),
+    each emitted window row is stamped when the watermark releases it, and
+    latency_ms = emit - earliest arrival that contributed.  Emits
+    (win_start, query_id, n_matches, input_ms, output_ms, latency_ms)."""
+    from distributed_spatial_index_spark.operators.latency import (
+        stamp_wallclock,
+    )
+
+    pts = (
+        stamp_wallclock(doc_stream, "input_ms")
+        .withWatermark("ts", "0 seconds")
+        .withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
+    )
+    q = F.broadcast(explode_query_cells(queries, bits, region, eps))
+    matched = pts.join(q, "cell").filter(
+        rect_contains_point(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            F.col("x"), F.col("y"), eps,
+        )
+    )
+    agg = (
+        matched
+        .groupBy(F.window("ts", f"{WINDOW_MS // 1000} seconds"), "query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("input_ms").alias("input_ms"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "query_id", "n_matches", "input_ms",
+        )
+    )
+    # stateless stamp AFTER the stateful aggregation: rows pass through
+    # here exactly when the watermark finalizes their window (append mode),
+    # so output_ms is the true emission time
+    stamped = stamp_wallclock(agg, "output_ms")
+    return stamped.withColumn(
+        "latency_ms", F.col("output_ms") - F.col("input_ms")
+    )
+
+
 _SEG_STATE_SCHEMA = "ts long, x double, y double"
 _SEG_OUT_SCHEMA = "tid long, ts long, x1 double, y1 double, x2 double, y2 double"
 

@@ -143,6 +143,55 @@ def test_streaming_horizon_range_join_matches_batch(spark):
         assert got == expect and len(got) > 0
 
 
+def test_streaming_latency_surface(spark):
+    """Latency stamps survive the stream: arrival-stamped docs, emission-
+    stamped window rows, non-negative latency, and the match counts equal
+    the unstamped streaming join's."""
+    import datetime
+
+    from distributed_spatial_index_spark.streaming.stream_join import (
+        streaming_range_join_with_latency,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        pts = src.geo_points(spark, SF_DIR, "lineitem").withColumn(
+            "ts", F.timestamp_millis(F.col("ts"))
+        )
+        pdf = pts.orderBy("ts", "id").toPandas()
+        half = len(pdf) // 2
+        for i in range(2):
+            chunk = pdf.iloc[i * half: None if i == 1 else (i + 1) * half]
+            spark.createDataFrame(chunk, schema=pts.schema).coalesce(1).write.mode(
+                "overwrite").parquet(f"{d}/pts/chunk{i}")
+        flush = spark.createDataFrame(
+            [(-1, -1e6, -1e6,
+              datetime.datetime(2016, 11, 1) + datetime.timedelta(hours=3))],
+            "id long, x double, y double, ts timestamp",
+        )
+        flush.coalesce(1).write.mode("overwrite").parquet(f"{d}/pts/chunk2")
+        stream = spark.readStream.schema(pts.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{d}/pts/chunk*/")
+        qs = src.range_queries(spark, SF_DIR, "lineitem")
+
+        _run_stream(streaming_range_join_with_latency(stream, qs), "slat")
+        rows = spark.sql("SELECT * FROM slat").collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["output_ms"] >= r["input_ms"] >= 0
+            assert r["latency_ms"] == r["output_ms"] - r["input_ms"]
+            assert r["n_matches"] >= 1
+        got = {(r["win_start"], r["query_id"]): r["n_matches"] for r in rows}
+        _run_stream(streaming_point_range_join(
+            spark.readStream.schema(pts.schema).option(
+                "maxFilesPerTrigger", 1).parquet(f"{d}/pts/chunk*/"), qs), "splain")
+        plain = {
+            (r["win_start"], r["query_id"]): r["n_matches"]
+            for r in spark.sql("SELECT * FROM splain").collect()
+        }
+        assert got == plain
+
+
 def test_streaming_segment_former_matches_batch(spark):
     with tempfile.TemporaryDirectory() as d:
         traj = src.trajectory_points(spark, SF_DIR)
