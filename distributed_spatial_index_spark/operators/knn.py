@@ -93,9 +93,14 @@ def knn(
         # ANY r, so a tiny radius in a dense cell is still correct — it just
         # keeps the ring (and the equi-join fan-out) minimal.
         half_diag = 0.5 * math.hypot(cw, ch)
-        rcol = F.coalesce(
-            F.least(want, F.lit(min(region.width, region.height) / 4.0)),
-            F.lit(4.0 * half_diag),  # empty cell: start a ring out
+        # Empty-cell queries (left-join miss -> n_in_cell NULL) start at a
+        # small ring of a few cells.  NB: F.least SKIPS nulls (returns the
+        # non-null cap), so the empty-cell branch must be an explicit
+        # F.when — a coalesce around least() would be dead code.
+        rcol = F.when(
+            F.col("n_in_cell").isNull(), F.lit(4.0 * half_diag)
+        ).otherwise(
+            F.least(want, F.lit(min(region.width, region.height) / 4.0))
         )
         remaining = (
             q0.withColumn("cell", cell_id_col(F.col("qx"), F.col("qy"), bits, region))

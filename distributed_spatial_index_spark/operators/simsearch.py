@@ -85,6 +85,28 @@ def cosine_topk_sql(
 # --- IVF (scale path) --------------------------------------------------------
 
 
+def _seed_sample(
+    emb: DataFrame, id_col: str, vec_col: str, cap: int = 20000,
+    fraction: float = 1.0,
+) -> np.ndarray:
+    """Deterministic k-means seed sample: filter by a hash of the id (when
+    subsampling), then take the ``cap`` LOWEST ids (TakeOrdered — a per-
+    partition top-k + driver merge, no full sort).  Unlike a bare
+    ``limit(cap)``, the result is independent of partition layout, so plans
+    and centroids are reproducible run to run (same discipline as the STR
+    gate's ``id % 37`` sample)."""
+    base = emb.select(id_col, vec_col)
+    if fraction < 1.0:
+        base = base.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(10000))
+            < F.lit(int(fraction * 10000))
+        )
+    rows = base.orderBy(id_col).limit(cap).collect()
+    return np.vstack([
+        np.asarray(r[vec_col], dtype=np.float64) for r in rows
+    ])
+
+
 def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
             seed: int = 42) -> np.ndarray:
     """Plain Lloyd's k-means (driver-side, deterministic)."""
@@ -124,10 +146,7 @@ def embedding_dup_pairs(
     import math
 
     spark = emb.sparkSession
-    sample = np.vstack([
-        np.asarray(r[vec_col], dtype=np.float64)
-        for r in emb.select(vec_col).limit(20000).collect()
-    ])
+    sample = _seed_sample(emb, id_col, vec_col)
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     sample = np.where(norms > 0, sample / np.where(norms == 0, 1, norms), 0.0)
     cent = _kmeans(sample, n_clusters)
@@ -150,8 +169,8 @@ def embedding_dup_pairs(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     ).withColumn("br", _assign_r(F.col("vec"))).select(
         "vid", "vec", F.col("br.bucket").alias("bucket"), F.col("br.r").alias("r")
-    ).persist()  # radii action + both join sides read it; stays cached
-    # for the (lazy) result's lifetime — Spark evicts LRU under pressure
+    ).persist()  # radii action + both join sides read it; released below
+    # once the (answer-sized) result is materialized
     radii = {
         r["bucket"]: r["rmax"]
         for r in docs.groupBy("bucket").agg(F.max("r").alias("rmax")).collect()
@@ -191,6 +210,12 @@ def embedding_dup_pairs(
     out = cand.select(
         F.least("xid", "yid").alias("a"), F.greatest("xid", "yid").alias("b")
     )
+    # materialize the (small: answer-sized) result so the docs cache can be
+    # released before returning — repeated calls in a long-lived session
+    # must not accumulate cached RDDs (same discipline as knn())
+    out = out.persist()
+    out.count()
+    docs.unpersist()
     return out
 
 
@@ -224,11 +249,7 @@ def ivf_topk(
     """Approximate top-k: probe the ``nprobe`` nearest IVF buckets, exact
     cosine rerank inside them.  Returns (query_id, rank, neighbor_id)."""
     spark = emb.sparkSession
-    sample = np.vstack([
-        np.asarray(r[vec_col], dtype=np.float64)
-        for r in emb.select(vec_col).sample(False, sample_fraction, seed=42)
-        .limit(20000).collect()
-    ])
+    sample = _seed_sample(emb, id_col, vec_col, fraction=sample_fraction)
     cent = _kmeans(sample, n_clusters)
     bc = spark.sparkContext.broadcast(cent)
 

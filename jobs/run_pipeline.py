@@ -87,9 +87,17 @@ def main() -> None:
         stamp_wallclock,
     )
 
-    # input stamp where queries enter the plan (QueryResult.java:12-26)
-    qs = stamp_wallclock(
-        src.range_queries(spark, args.data, "documents", ratio=15), "input_ms"
+    # input stamp where queries enter the pipeline (QueryResult.java:12-26):
+    # committed as its OWN checkpoint step so input_ms is written to storage
+    # BEFORE the join runs — result_latency then measures real elapsed time
+    # since arrival, not just the latency job's own evaluation.
+    qs = ck.step(
+        "queries_stamped",
+        lambda: stamp_wallclock(
+            src.range_queries(spark, args.data, "documents", ratio=15),
+            "input_ms",
+        ),
+        lineage_key="query_id",
     )
     joined = ck.step(
         "range_join",
