@@ -74,6 +74,12 @@ from distributed_spatial_index_spark.operators.simsearch import (
 _GEO_TABLE = "lineitem"  # biggest id-carrying table -> most meaningful checks
 _DOC_RATIO = 15  # documents table is small; denser query sampling
 _MAX_DF = 20  # shingle document-frequency cap for the graded dedup paths
+_MAX_BUCKET = 100  # hot-bucket cap for the graded LSH/simhash candidate gen
+_LSH_THRESHOLD = 0.2  # jaccard threshold for the graded near-dup paths
+_MAX_HAMMING = 4  # simhash hamming radius for the graded path
+# multimodal gate parameters (scripts/gen_expected.py mirrors these)
+_RESIZE_W, _RESIZE_H = 8, 8
+_FRAME_EVERY = 2
 
 
 def _expected_parquet_sql(name: str, cols: str) -> str:
@@ -82,7 +88,12 @@ def _expected_parquet_sql(name: str, cols: str) -> str:
     tested).  DuckDB has no xxhash64, so MinHash/SimHash cannot have a SQL
     twin; this dispatches on the registered lineitem view's row count to
     pick the file generated for the scale factor the gate is running at.
-    An un-generated sf yields an empty oracle -> a loud gate mismatch."""
+
+    Expected files are committed for sf0.001 and sf0.01 (the driver gate's
+    sf); running the oracle at any OTHER sf filters every branch out -> a
+    loud 0-row mismatch.  A missing/deleted expected directory produces an
+    explicit DuckDB error() call instead of an empty (syntax-error) oracle.
+    """
     base = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tests", "expected"
     )
@@ -92,6 +103,11 @@ def _expected_parquet_sql(name: str, cols: str) -> str:
         branches.append(
             f"SELECT {cols} FROM read_parquet('{p}') "
             f"WHERE (SELECT count(*) FROM lineitem) = {n_li}"
+        )
+    if not branches:
+        return (
+            f"SELECT error('no expected parquet for {name}; "
+            f"run scripts/gen_expected.py')"
         )
     return " UNION ALL ".join(branches)
 
@@ -266,6 +282,45 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_features over the doc-derived media table, histogram flattened
+    to scalar doubles (h0..h3) so the oracle hash compares flat columns."""
+    from distributed_spatial_index_spark.operators.multimodal import (
+        decode_features,
+        media_from_documents,
+    )
+
+    feats = decode_features(media_from_documents(spark, sf_dir))
+    return feats.select(
+        "media_id", "mean", "std",
+        *[F.element_at("histo4", i + 1).alias(f"h{i}") for i in range(4)],
+    )
+
+
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_media; output bytes hex-encoded (lowercase, = bytes.hex()) so
+    the full blob is value-compared as a flat string column."""
+    from distributed_spatial_index_spark.operators.multimodal import (
+        media_from_documents,
+        resize_media,
+    )
+
+    out = resize_media(media_from_documents(spark, sf_dir), _RESIZE_W, _RESIZE_H)
+    return out.select("media_id", F.lower(F.hex("blob")).alias("blob_hex"))
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_spatial_index_spark.operators.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    out = sample_frames(media_from_documents(spark, sf_dir), every_nth=_FRAME_EVERY)
+    return out.select(
+        "media_id", "frame_no", F.lower(F.hex("frame")).alias("frame_hex")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_join": _q_range_join,
@@ -299,14 +354,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": lambda s, d: _ts.clean_corpus(src.load(s, d, "documents")),
         # max_df on: the scale guard the ops ship with is the one graded
         "ngram_jaccard": lambda s, d: _dd.ngram_jaccard_pairs(
-            src.load(s, d, "documents"), threshold=0.2, max_df=_MAX_DF
+            src.load(s, d, "documents"), threshold=_LSH_THRESHOLD, max_df=_MAX_DF
         ),
         "minhash_lsh": lambda s, d: _dd.minhash_lsh_pairs(
-            src.load(s, d, "documents"), threshold=0.2, max_df=_MAX_DF
+            src.load(s, d, "documents"), threshold=_LSH_THRESHOLD,
+            max_df=_MAX_DF, max_bucket=_MAX_BUCKET,
         ),
         "simhash_dedup": lambda s, d: _dd.simhash_pairs(
-            src.load(s, d, "documents"), max_hamming=4
+            src.load(s, d, "documents"), max_hamming=_MAX_HAMMING,
+            max_bucket=_MAX_BUCKET,
         ),
+        # multimodal binary columns (Arrow-batched mapInPandas over
+        # deterministic fake blobs; features/bytes flattened to hash-stable
+        # scalar columns, verified against the independent expected-parquet
+        # oracle from scripts/gen_expected.py)
+        "media_decode": _q_media_decode,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
         "cosine_topk": lambda s, d: cosine_topk(
             src.load(s, d, "embeddings"), n_queries=16, k=10
         ),
@@ -416,10 +480,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _dd.dedup_exact_sql("documents"),
         "clean_corpus": _ts.clean_corpus_sql("documents"),
         "ngram_jaccard": _dd.ngram_jaccard_pairs_sql(
-            "documents", threshold=0.2, max_df=_MAX_DF
+            "documents", threshold=_LSH_THRESHOLD, max_df=_MAX_DF
         ),
         "minhash_lsh": _expected_parquet_sql("minhash_lsh", "a, b, jaccard"),
         "simhash_dedup": _expected_parquet_sql("simhash_dedup", "a, b, hamming"),
+        "media_decode": _expected_parquet_sql(
+            "media_decode", "media_id, mean, std, h0, h1, h2, h3"
+        ),
+        "media_resize": _expected_parquet_sql("media_resize", "media_id, blob_hex"),
+        "media_frames": _expected_parquet_sql(
+            "media_frames", "media_id, frame_no, frame_hex"
+        ),
         "cosine_topk": cosine_topk_sql("embeddings", 16, 10),
         "ivf_topk": cosine_topk_sql("embeddings", 16, 10),
         "embedding_dup_pairs": embedding_dup_pairs_sql(

@@ -26,28 +26,32 @@ MEDIA_TYPES = ["image", "audio", "video"]
 HEADER = 8
 
 
-def synthetic_media(
-    spark: SparkSession, n: int = 200, max_dim: int = 16, n_frames: int = 4
+def media_row(mid: int, max_dim: int = 16, n_frames: int = 4) -> tuple:
+    """One deterministic fake media row for ``mid`` — the single source of
+    truth for the synthetic blob layout (scripts/gen_expected.py builds its
+    independent expected tables against this exact contract)."""
+    rng = np.random.default_rng(1000 + int(mid))
+    mtype = MEDIA_TYPES[int(mid) % 3]
+    w = 4 + int(mid) % (max_dim - 4)
+    h = 4 + (int(mid) // 3) % (max_dim - 4)
+    frames = n_frames if mtype == "video" else 1
+    payload = rng.integers(0, 256, w * h * frames, dtype=np.uint8)
+    blob = struct.pack("<II", w, h) + payload.tobytes()
+    return (int(mid), mtype, w, h, blob)
+
+
+def _media_from_ids(
+    base: DataFrame, max_dim: int = 16, n_frames: int = 4
 ) -> DataFrame:
-    """(media_id, media_type, width, height, blob): deterministic fake blobs.
+    """base(media_id long) -> (media_id, media_type, width, height, blob).
 
     Generated per-partition in mapInPandas (never on the driver) so the
     generator itself scales; contents are a pure function of media_id.
     """
-    base = spark.range(n).select(F.col("id").alias("media_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid in pdf["media_id"]:
-                rng = np.random.default_rng(1000 + int(mid))
-                mtype = MEDIA_TYPES[int(mid) % 3]
-                w = 4 + int(mid) % (max_dim - 4)
-                h = 4 + (int(mid) // 3) % (max_dim - 4)
-                frames = n_frames if mtype == "video" else 1
-                payload = rng.integers(0, 256, w * h * frames, dtype=np.uint8)
-                blob = struct.pack("<II", w, h) + payload.tobytes()
-                rows.append((int(mid), mtype, w, h, blob))
+            rows = [media_row(mid, max_dim, n_frames) for mid in pdf["media_id"]]
             yield pd.DataFrame(
                 rows, columns=["media_id", "media_type", "width", "height", "blob"]
             )
@@ -56,6 +60,28 @@ def synthetic_media(
         gen,
         schema="media_id long, media_type string, width int, height int, blob binary",
     )
+
+
+def synthetic_media(
+    spark: SparkSession, n: int = 200, max_dim: int = 16, n_frames: int = 4
+) -> DataFrame:
+    """(media_id, media_type, width, height, blob): deterministic fake blobs
+    for media_id in [0, n)."""
+    return _media_from_ids(
+        spark.range(n).select(F.col("id").alias("media_id")), max_dim, n_frames
+    )
+
+
+def media_from_documents(
+    spark: SparkSession, sf_dir: str, max_dim: int = 16, n_frames: int = 4
+) -> DataFrame:
+    """Scale-factor-coupled media table: one fake blob per documents row
+    (media_id = doc_id).  This is the driver-gate input — output row sets
+    differ per sf because the doc_id set does."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+    return _media_from_ids(base, max_dim, n_frames)
 
 
 def decode_features(media: DataFrame) -> DataFrame:

@@ -136,3 +136,91 @@ def test_simhash_pairs_exact(corpus):
         if h <= 3:
             expect[(a, b)] = h
     assert got == expect and len(expect) > 0
+
+# --- hot-bucket guards + cluster output mode (round 3) ----------------------
+
+
+@pytest.fixture(scope="module")
+def degenerate_corpus(spark):
+    """600 byte-identical boilerplate docs (the web-scale hot bucket) plus
+    one constructed near-dup pair of long distinct documents."""
+    boiler = "lorem ipsum dolor sit amet " * 10
+    base = " ".join(f"tok{i * 17 % 101}x{i}" for i in range(120))
+    near_a = base
+    near_b = base.replace("tok34x2 ", "tok34x2 extra ", 1)
+    rows = [(i, boiler) for i in range(600)]
+    rows += [(9001, near_a), (9002, near_b)]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_simhash_hot_bucket_guard(degenerate_corpus):
+    """With max_bucket on, the 600-doc identical cluster (whose every chunk
+    bucket is hot) contributes ZERO candidate pairs — output stays linear-
+    ish — while near-dup pairs in cold buckets are still found."""
+    got = {(r["a"], r["b"])
+           for r in dd.simhash_pairs(
+               degenerate_corpus, max_hamming=4, max_bucket=50).collect()}
+    assert got == {(9001, 9002)}
+
+
+def test_minhash_hot_bucket_guard(degenerate_corpus):
+    got = {(r["a"], r["b"])
+           for r in dd.minhash_lsh_pairs(
+               degenerate_corpus, threshold=0.7, max_bucket=50).collect()}
+    assert got == {(9001, 9002)}
+
+
+def test_minhash_guard_noop_on_cold_corpus(corpus):
+    """On a corpus with no hot buckets the guard must not change results."""
+    base = {(r["a"], r["b"])
+            for r in dd.minhash_lsh_pairs(corpus, threshold=0.7).collect()}
+    capped = {(r["a"], r["b"])
+              for r in dd.minhash_lsh_pairs(
+                  corpus, threshold=0.7, max_bucket=10_000).collect()}
+    assert base == capped and len(base) > 0
+
+
+def test_near_dup_components_union_find(degenerate_corpus, spark):
+    """Canonical-id output: components equal a driver-side union-find over
+    the same pair list, and the 600-doc cluster costs 600 rows, not 600^2/2
+    pairs."""
+    pairs = dd.simhash_pairs(degenerate_corpus, max_hamming=4)
+    comp = dd.near_dup_components(degenerate_corpus, pairs)
+    got = {r["doc_id"]: r["component_id"] for r in comp.collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    ids = [r["doc_id"] for r in degenerate_corpus.select("doc_id").collect()]
+    for i in ids:
+        find(i)
+    for r in pairs.collect():
+        union(r["a"], r["b"])
+    expect = {i: find(i) for i in ids}
+    assert got == expect
+    assert len(got) == len(ids)  # linear output
+    assert got[9002] == 9001 and got[599] == 0
+
+
+def test_near_dup_components_chain(spark):
+    """Min-label must propagate across a chain (multiple rounds)."""
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["component_id"]
+           for r in dd.near_dup_components(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6}
