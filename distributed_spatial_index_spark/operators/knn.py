@@ -19,10 +19,18 @@ would shuffle |docs| x |queries| rows.
 
 from __future__ import annotations
 
+import logging
 import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+
+# Populated by every knn() call: rounds_run, stragglers (queries left when
+# the ring loop ended), fallback_used.  A driver-side metrics surface for
+# the loud-fallback contract (tests assert it; pipelines can export it).
+last_stats: dict[str, int | bool] = {}
 
 from distributed_spatial_index_spark.config import (
     DEFAULT_REGION,
@@ -45,6 +53,7 @@ def knn(
     bits: int = 7,
     region: Region = DEFAULT_REGION,
     safety: float = 3.0,
+    fallback_cap: int = 1024,
 ) -> DataFrame:
     """points(id, x, y) ⋈ queries(query_id, x, y) → k nearest points.
 
@@ -62,6 +71,12 @@ def knn(
     materialization doubles as the convergence check — settled queries emit
     exactly k rows, so remaining-query accounting is pure driver
     arithmetic, no isEmpty job).
+
+    Queries still unsettled after ``max_rounds`` fall back to a brute-force
+    ranking, BOUNDED by ``fallback_cap`` stragglers (the fallback shuffles
+    |docs| x |stragglers| rows); beyond the cap the call raises loudly
+    instead of submitting a quadratic join.  Per-call counters land in
+    ``knn.last_stats`` (rounds_run, stragglers, fallback_used).
 
     Returns (query_id, rank, doc_id, d2); rank 1..k ordered by squared L2
     distance then doc_id.  ``points`` must be unique by id (dedupe upstream
@@ -118,8 +133,10 @@ def knn(
     w = Window.partitionBy("query_id").orderBy("d2", "doc_id")
     wc = Window.partitionBy("query_id")
     prev_remaining: DataFrame | None = None
+    rounds_run = 0
 
     for _round in range(max_rounds):
+        rounds_run = _round + 1
         qcells = remaining.withColumn(
             "cell",
             F.explode(
@@ -163,8 +180,30 @@ def knn(
         remaining = nxt
         rem_frames.append(remaining)
     else:
-        # max_rounds exhausted: brute-force the stragglers (tiny by now)
+        # max_rounds exhausted.  The brute-force fallback shuffles
+        # |docs| x |stragglers| rows, so it is BOUNDED by fallback_cap: a
+        # pathological region at scale fails loudly with the knobs named
+        # instead of silently submitting a quadratic join.
+        if n_remaining > fallback_cap:
+            pts.unpersist()
+            for rdf in rounds + rem_frames:
+                rdf.unpersist()
+            last_stats.update(
+                rounds_run=max_rounds, stragglers=n_remaining, fallback_used=False
+            )
+            raise RuntimeError(
+                f"knn: {n_remaining} queries unsettled after {max_rounds} "
+                f"rounds exceeds fallback_cap={fallback_cap}; the brute-force "
+                f"fallback would shuffle |docs| x {n_remaining} rows. Raise "
+                "max_rounds/growth (ring search) or fallback_cap (accept the "
+                "bounded brute-force) explicitly."
+            )
         if n_remaining > 0:
+            _log.warning(
+                "knn: %d straggler queries after %d rounds; running the "
+                "bounded brute-force fallback (<= fallback_cap=%d)",
+                n_remaining, max_rounds, fallback_cap,
+            )
             rounds.append(
                 pts.crossJoin(
                     F.broadcast(remaining.select("query_id", "qx", "qy"))
@@ -175,6 +214,12 @@ def knn(
                 .filter(F.col("rank") <= k)
                 .select("query_id", "rank", "doc_id", "d2")
             )
+
+    last_stats.update(
+        rounds_run=rounds_run,
+        stragglers=max(n_remaining, 0),
+        fallback_used=rounds_run >= max_rounds and n_remaining > 0,
+    )
 
     out: DataFrame | None = None
     for rdf in rounds:

@@ -236,6 +236,58 @@ def embedding_dup_pairs_sql(
     """
 
 
+def ivf_recall_contract(
+    emb: DataFrame,
+    n_queries: int = 16,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    avg_bound: float = 0.5,
+    min_bound: float = 0.15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row contract for the APPROXIMATE IVF path (nprobe < n_clusters):
+    (n_queries, avg_recall_ok, min_recall_ok) against the exact brute-force
+    top-k.  The raw recall value is engine/data-specific (not SQL-oracle-
+    able) but the contract is: the oracle expects (count, true, true), so a
+    regression in probe selection (_probes) fails the driver gate loudly —
+    the approx_distinct_parts pattern (operators/relational.py).  All
+    inputs are deterministic (seeded k-means over the id-ordered sample),
+    so the booleans are stable, not flaky."""
+    exact = cosine_topk(emb, n_queries, k, id_col, vec_col)
+    approx = ivf_topk(emb, n_queries, k, n_clusters, nprobe,
+                      id_col=id_col, vec_col=vec_col)
+    hit = exact.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = (
+        exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id", "left",
+        )
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.avg("recall") >= F.lit(avg_bound)).alias("avg_recall_ok"),
+        (F.min("recall") >= F.lit(min_bound)).alias("min_recall_ok"),
+    )
+
+
+def ivf_recall_contract_sql(table: str = "embeddings", n_queries: int = 16) -> str:
+    return (
+        f"SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, "
+        f"true AS avg_recall_ok, true AS min_recall_ok "
+        f"FROM {table} WHERE vec_id < {n_queries}"
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 16,

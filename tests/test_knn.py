@@ -84,3 +84,29 @@ def test_knn_tie_break_by_doc_id(spark):
     got = sorted(map(tuple, knn(pts, qs, k=4).collect()))
     # all at d2=100 -> rank order must be doc_id order: 1,3,5,9
     assert [(r[1], r[2]) for r in got] == [(1, 1), (2, 3), (3, 5), (4, 9)]
+
+
+def test_knn_fallback_bounded_and_loud(spark):
+    """Forcing stragglers (tiny r0, no ring rounds) must (a) raise when the
+    straggler count exceeds fallback_cap, (b) run the bounded brute-force
+    below the cap with results identical to the converged ring search, and
+    (c) record both outcomes in knn.last_stats."""
+    import pytest as _pytest
+
+    from distributed_spatial_index_spark.operators import knn as knn_mod
+
+    pts = src.unique_geo_points(spark, SF_DIR, "lineitem")
+    qs = src.knn_queries(spark, SF_DIR, "lineitem")
+    n_q = qs.dropDuplicates(["query_id"]).count()
+
+    with _pytest.raises(RuntimeError, match="fallback_cap"):
+        knn(pts, qs, k=3, r0=1e-9, max_rounds=1, fallback_cap=n_q // 2)
+    assert knn_mod.last_stats["stragglers"] == n_q
+    assert not knn_mod.last_stats["fallback_used"]
+
+    got = knn(pts, qs, k=3, r0=1e-9, max_rounds=1, fallback_cap=n_q)
+    assert knn_mod.last_stats["fallback_used"]
+    assert knn_mod.last_stats["stragglers"] == n_q
+    expect = knn(pts, qs, k=3)
+    assert not knn_mod.last_stats["fallback_used"]
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
