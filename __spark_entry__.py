@@ -60,6 +60,7 @@ from distributed_spatial_index_spark.sources.synthetic import (
 )
 
 from distributed_spatial_index_spark.operators import dedup as _dd
+from distributed_spatial_index_spark.sources import latlon as _latlon
 from distributed_spatial_index_spark.operators import relational as _rel
 from distributed_spatial_index_spark.operators import windows as _win
 from distributed_spatial_index_spark.operators import textstats as _ts
@@ -68,6 +69,8 @@ from distributed_spatial_index_spark.operators.simsearch import (
     cosine_topk_sql,
     embedding_dup_pairs,
     embedding_dup_pairs_sql,
+    ivf_recall_contract,
+    ivf_recall_contract_sql,
     ivf_topk,
 )
 
@@ -282,6 +285,32 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming==batch witnessed AT THE GATE, not just in pytest: replay
+    the sf point table through the streaming 8-window logical-horizon join
+    (watermark eviction = the reference's index eviction,
+    LocalTreePF.java:69,93-103) and diff it against the batch twin.  The
+    oracle is the empty set — any divergence between Spark's state-store
+    path and the batch plan surfaces as rows here."""
+    from distributed_spatial_index_spark.operators.compare import result_diff
+    from distributed_spatial_index_spark.operators.range_join import (
+        horizon_range_join,
+    )
+    from distributed_spatial_index_spark.streaming.replay import replay_stream
+    from distributed_spatial_index_spark.streaming.stream_join import (
+        streaming_horizon_range_join,
+    )
+
+    pts = src.geo_points(spark, sf_dir, _GEO_TABLE).withColumn(
+        "ts", F.timestamp_millis(F.col("ts"))
+    )
+    qs = src.range_queries(spark, sf_dir, _GEO_TABLE)
+    stream_out = replay_stream(
+        spark, pts, lambda s: streaming_horizon_range_join(s, qs)
+    )
+    return result_diff(horizon_range_join(pts, qs), stream_out)
+
+
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode_features over the doc-derived media table, histogram flattened
     to scalar doubles (h0..h3) so the oracle hash compares flat columns."""
@@ -344,6 +373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_former": _q_segment_former,
         "horizon_range_join": _q_horizon_range_join,
         "span_invariant": _q_span_invariant,
+        "stream_batch_parity": _q_stream_batch_parity,
+        # lon/lat replay-line ingestion: parse (both line shapes) +
+        # ellipsoidal Mercator + drop policy, against a true DuckDB twin
+        "trackpoint_parse": _latlon.parse_trackpoints_gate,
         # training-data pipeline ops (documents / embeddings tables)
         "token_count": lambda s, d: _ts.token_count(src.load(s, d, "documents")),
         "lang_id": lambda s, d: _ts.lang_id(src.load(s, d, "documents")),
@@ -380,6 +413,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": lambda s, d: ivf_topk(
             src.load(s, d, "embeddings"), n_queries=16, k=10,
             n_clusters=16, nprobe=16
+        ),
+        # the APPROXIMATE path (nprobe < n_clusters) as a recall contract:
+        # a probe-selection regression flips the booleans at the gate
+        "ivf_recall": lambda s, d: ivf_recall_contract(
+            src.load(s, d, "embeddings"), n_queries=16, k=10,
+            n_clusters=16, nprobe=4
         ),
         # exact near-dup by cosine (ball-bound bucket-pair blocking)
         "embedding_dup_pairs": lambda s, d: embedding_dup_pairs(
@@ -473,6 +512,15 @@ def oracle_sql() -> dict[str, str]:
         # invariant holds <=> both sides are empty with the same schema
         "span_invariant": "SELECT CAST(doc_id AS VARCHAR) AS doc_id "
                           "FROM documents WHERE 1 = 0",
+        "stream_batch_parity": """
+            SELECT CAST(NULL AS TIMESTAMP) AS win_start,
+                   CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS BOOLEAN) AS in_a,
+                   CAST(NULL AS BOOLEAN) AS in_b
+            WHERE 1 = 0
+        """,
+        "trackpoint_parse": _latlon.parse_trackpoints_oracle_sql(),
         "token_count": _ts.token_count_sql("documents"),
         "lang_id": _ts.lang_id_sql("documents"),
         "quality_score": _ts.quality_score_sql("documents"),
@@ -493,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cosine_topk": cosine_topk_sql("embeddings", 16, 10),
         "ivf_topk": cosine_topk_sql("embeddings", 16, 10),
+        "ivf_recall": ivf_recall_contract_sql("embeddings", 16),
         "embedding_dup_pairs": embedding_dup_pairs_sql(
             "embeddings", threshold=0.3
         ),

@@ -1,0 +1,94 @@
+"""Deterministic replay harness: run a streaming transform over a bounded
+point table and hand back its full output as a batch DataFrame.
+
+This is the engine-level twin of the reference's text-replay smoke runs
+(StreamingJob.java:121-127 replays a TSV and eyeballs the printed results):
+the input is chunked into time-ordered files, streamed with
+``maxFilesPerTrigger=1`` + ``availableNow`` into a memory sink, and the
+memory table is returned.  Because every streaming operator here is proven
+batch==stream (tests/test_streaming.py), the replay lets the DRIVER GATE
+witness that equality too: ``result_diff(batch_op(pts), replay(stream_op,
+pts))`` must be empty.
+
+Zero-lateness watermark discipline: chunks are written in event-time order
+(the reference's replayed files are time-ordered too), and synthetic
+off-region flush rows past the last horizon window advance the watermark so
+append mode emits every real window before the stream ends.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from distributed_spatial_index_spark.config import LOGIC_WINDOW, WINDOW_MS
+
+
+def replay_stream(
+    spark: SparkSession,
+    pts: DataFrame,
+    transform,
+    n_chunks: int = 3,
+    flush_windows: int = LOGIC_WINDOW + 2,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """pts(id, x, y, ts timestamp) -> batch DataFrame of ``transform(stream)``.
+
+    ``transform`` maps a streaming DataFrame with pts' schema to the
+    streaming query to run.  The result is the fully-materialized memory
+    sink; the chunk directory is deleted before returning (the memory sink
+    holds the rows).  Driver-side pandas staging is gate-scale machinery —
+    at production scale the stream source is real (files/Kafka) and this
+    helper is only the parity-witness harness.
+    """
+    d = tempfile.mkdtemp(prefix="dsi_replay_")
+    name = f"replay_{uuid.uuid4().hex[:12]}"
+    try:
+        pdf = pts.orderBy("ts", "id").toPandas()
+        if len(pdf) == 0:
+            raise ValueError("replay_stream needs a non-empty point table")
+        chunk = max(len(pdf) // n_chunks, 1)
+        for i in range(n_chunks):
+            part = pdf.iloc[i * chunk: None if i == n_chunks - 1 else (i + 1) * chunk]
+            spark.createDataFrame(part, schema=pts.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/chunk{i:03d}")
+        # two off-region flush rows past the last horizon window: the first
+        # advances the watermark over all real windows, the second flushes
+        # the window containing the first (its own never emits — it is empty)
+        max_ts = pdf["ts"].max()
+        for j in range(2):
+            flush_ts = max_ts + (flush_windows + j) * pd.Timedelta(
+                milliseconds=WINDOW_MS
+            )
+            flush = spark.createDataFrame(
+                [(-1, -1e6, -1e6, flush_ts.to_pydatetime())],
+                "id long, x double, y double, ts timestamp",
+            ).select(*pts.columns)
+            flush.coalesce(1).write.mode("overwrite").parquet(
+                f"{d}/chunk{n_chunks + j:03d}"
+            )
+        stream = (
+            spark.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/chunk*/")
+        )
+        q = (
+            transform(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"replay stream {name} did not finish")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)
