@@ -311,6 +311,71 @@ def _q_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result_diff(horizon_range_join(pts, qs), stream_out)
 
 
+def _q_segment_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-state streaming parity at the gate: the applyInPandasWithState
+    segment former (state = last point per tid, ToInputItemFlatMap.java:38)
+    replayed over the trajectory table must equal the batch lag-window
+    former exactly.  No watermark flush needed — keyed state emits per
+    micro-batch."""
+    from distributed_spatial_index_spark.operators.compare import result_diff
+    from distributed_spatial_index_spark.streaming.replay import replay_stream
+    from distributed_spatial_index_spark.streaming.stream_join import (
+        streaming_segment_former,
+    )
+
+    traj = src.trajectory_points(spark, sf_dir)
+    stream_out = replay_stream(
+        spark, traj, streaming_segment_former,
+        sort_cols=("ts", "seq"), flush=False,
+    )
+    return result_diff(form_segments(traj), stream_out)
+
+
+def _q_salted_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffled-regime join (query side NOT broadcast) with hot-cell
+    salting — same semantics as range_join, so the same oracle verifies the
+    whole salt fan-out + shuffle path (plans/partitioning.py)."""
+    from distributed_spatial_index_spark.operators.density import density_grid
+    from distributed_spatial_index_spark.plans.partitioning import (
+        hot_cells_from_density,
+        salted_point_range_join,
+    )
+
+    pts = src.geo_points(spark, sf_dir, _GEO_TABLE)
+    hot = hot_cells_from_density(density_grid(pts, bits=9), threshold=20)
+    return salted_point_range_join(
+        pts, src.range_queries(spark, sf_dir, _GEO_TABLE), hot, n_salt=4, bits=9
+    )
+
+
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear canonical-id output over the simhash near-dup graph; the
+    oracle recomputes connected components with a recursive CTE over the
+    independent expected-parquet edge list."""
+    docs = src.load(spark, sf_dir, "documents")
+    pairs = _dd.simhash_pairs(
+        docs, max_hamming=_MAX_HAMMING, max_bucket=_MAX_BUCKET
+    )
+    return _dd.near_dup_components(docs, pairs)
+
+
+def _near_dup_clusters_oracle_sql() -> str:
+    edges = _expected_parquet_sql("simhash_dedup", "a, b")
+    return f"""
+        WITH RECURSIVE und AS (
+            SELECT a AS u, b AS v FROM ({edges})
+            UNION ALL
+            SELECT b AS u, a AS v FROM ({edges})
+        ), reach(id, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.v, r.comp FROM reach r JOIN und u ON u.u = r.id
+        )
+        SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component_id
+        FROM reach GROUP BY id
+    """
+
+
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode_features over the doc-derived media table, histogram flattened
     to scalar doubles (h0..h3) so the oracle hash compares flat columns."""
@@ -374,6 +439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "horizon_range_join": _q_horizon_range_join,
         "span_invariant": _q_span_invariant,
         "stream_batch_parity": _q_stream_batch_parity,
+        "segment_stream_parity": _q_segment_stream_parity,
+        "salted_range_join": _q_salted_range_join,
         # lon/lat replay-line ingestion: parse (both line shapes) +
         # ellipsoidal Mercator + drop policy, against a true DuckDB twin
         "trackpoint_parse": _latlon.parse_trackpoints_gate,
@@ -397,6 +464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             src.load(s, d, "documents"), max_hamming=_MAX_HAMMING,
             max_bucket=_MAX_BUCKET,
         ),
+        # cluster-sized duplication as LINEAR canonical ids (min-label
+        # propagation over the simhash pair graph)
+        "near_dup_clusters": _q_near_dup_clusters,
         # multimodal binary columns (Arrow-batched mapInPandas over
         # deterministic fake blobs; features/bytes flattened to hash-stable
         # scalar columns, verified against the independent expected-parquet
@@ -479,6 +549,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.x >= q.xmin - {EPSILON!r} AND p.x <= q.xmax + {EPSILON!r}
               AND p.y >= q.ymin - {EPSILON!r} AND p.y <= q.ymax + {EPSILON!r}
         """,
+        # the shuffled+salted path is a physical strategy; same result set
+        "salted_range_join": f"""
+            SELECT DISTINCT q.query_id, p.id AS doc_id
+            FROM ({pts}) p, ({qs}) q
+            WHERE p.x >= q.xmin - {EPSILON!r} AND p.x <= q.xmax + {EPSILON!r}
+              AND p.y >= q.ymin - {EPSILON!r} AND p.y <= q.ymax + {EPSILON!r}
+        """,
         # STR routing is a physical strategy; result set == range_join
         "str_range_join": f"""
             SELECT DISTINCT q.query_id, p.id AS doc_id
@@ -521,6 +598,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE 1 = 0
         """,
         "trackpoint_parse": _latlon.parse_trackpoints_oracle_sql(),
+        "segment_stream_parity": """
+            SELECT CAST(NULL AS BIGINT) AS tid, CAST(NULL AS BIGINT) AS ts,
+                   CAST(NULL AS DOUBLE) AS x1, CAST(NULL AS DOUBLE) AS y1,
+                   CAST(NULL AS DOUBLE) AS x2, CAST(NULL AS DOUBLE) AS y2,
+                   CAST(NULL AS BOOLEAN) AS in_a, CAST(NULL AS BOOLEAN) AS in_b
+            WHERE 1 = 0
+        """,
+        "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "token_count": _ts.token_count_sql("documents"),
         "lang_id": _ts.lang_id_sql("documents"),
         "quality_score": _ts.quality_score_sql("documents"),

@@ -35,8 +35,10 @@ def replay_stream(
     n_chunks: int = 3,
     flush_windows: int = LOGIC_WINDOW + 2,
     timeout_sec: int = 300,
+    sort_cols: tuple[str, ...] = ("ts", "id"),
+    flush: bool = True,
 ) -> DataFrame:
-    """pts(id, x, y, ts timestamp) -> batch DataFrame of ``transform(stream)``.
+    """pts -> batch DataFrame of ``transform(stream over pts)``.
 
     ``transform`` maps a streaming DataFrame with pts' schema to the
     streaming query to run.  The result is the fully-materialized memory
@@ -44,11 +46,17 @@ def replay_stream(
     holds the rows).  Driver-side pandas staging is gate-scale machinery —
     at production scale the stream source is real (files/Kafka) and this
     helper is only the parity-witness harness.
+
+    ``flush=True`` (watermarked window aggregations) appends two off-region
+    rows — schema (id, x, y, ts timestamp) — past the last horizon window
+    so append mode emits every real window before the stream ends.  Pass
+    ``flush=False`` for keyed-state transforms (applyInPandasWithState
+    with NoTimeout) that emit per micro-batch and need no watermark push.
     """
     d = tempfile.mkdtemp(prefix="dsi_replay_")
     name = f"replay_{uuid.uuid4().hex[:12]}"
     try:
-        pdf = pts.orderBy("ts", "id").toPandas()
+        pdf = pts.orderBy(*sort_cols).toPandas()
         if len(pdf) == 0:
             raise ValueError("replay_stream needs a non-empty point table")
         chunk = max(len(pdf) // n_chunks, 1)
@@ -60,18 +68,19 @@ def replay_stream(
         # two off-region flush rows past the last horizon window: the first
         # advances the watermark over all real windows, the second flushes
         # the window containing the first (its own never emits — it is empty)
-        max_ts = pdf["ts"].max()
-        for j in range(2):
-            flush_ts = max_ts + (flush_windows + j) * pd.Timedelta(
-                milliseconds=WINDOW_MS
-            )
-            flush = spark.createDataFrame(
-                [(-1, -1e6, -1e6, flush_ts.to_pydatetime())],
-                "id long, x double, y double, ts timestamp",
-            ).select(*pts.columns)
-            flush.coalesce(1).write.mode("overwrite").parquet(
-                f"{d}/chunk{n_chunks + j:03d}"
-            )
+        if flush:
+            max_ts = pdf["ts"].max()
+            for j in range(2):
+                flush_ts = max_ts + (flush_windows + j) * pd.Timedelta(
+                    milliseconds=WINDOW_MS
+                )
+                fdf = spark.createDataFrame(
+                    [(-1, -1e6, -1e6, flush_ts.to_pydatetime())],
+                    "id long, x double, y double, ts timestamp",
+                ).select(*pts.columns)
+                fdf.coalesce(1).write.mode("overwrite").parquet(
+                    f"{d}/chunk{n_chunks + j:03d}"
+                )
         stream = (
             spark.readStream.schema(pts.schema)
             .option("maxFilesPerTrigger", 1)
