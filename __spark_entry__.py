@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, d: _ts.quality_score(src.load(s, d, "documents")),
         "fingerprint": lambda s, d: _ts.fingerprint(src.load(s, d, "documents")),
         "dedup_exact": lambda s, d: _dd.dedup_exact(src.load(s, d, "documents")),
+        # per-language vocabulary statistics (corpus analysis)
+        "top_terms": lambda s, d: _ts.top_terms(src.load(s, d, "documents"), k=10),
         # composed corpus-prep pipeline: lang filter + quality + dedup
         "clean_corpus": lambda s, d: _ts.clean_corpus(src.load(s, d, "documents")),
         # max_df on: the scale guard the ops ship with is the one graded
@@ -511,6 +513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             src.load(s, d, "orders")
         ),
         "approx_distinct_parts": lambda s, d: _rel.approx_distinct_parts(
+            src.load(s, d, "lineitem")
+        ),
+        "approx_quantiles": lambda s, d: _rel.approx_quantiles_contract(
             src.load(s, d, "lineitem")
         ),
         # windowed / relational aggregation shapes (SURVEY.md A1/A2)
@@ -611,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _ts.quality_score_sql("documents"),
         "fingerprint": _ts.fingerprint_sql("documents"),
         "dedup_exact": _dd.dedup_exact_sql("documents"),
+        "top_terms": _ts.top_terms_sql("documents", k=10),
         "clean_corpus": _ts.clean_corpus_sql("documents"),
         "ngram_jaccard": _dd.ngram_jaccard_pairs_sql(
             "documents", threshold=_LSH_THRESHOLD, max_df=_MAX_DF
@@ -636,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_extract": _rel.events_json_extract_sql(),
         "orders_monthly": _rel.orders_monthly_sql(),
         "approx_distinct_parts": _rel.approx_distinct_parts_sql(),
+        "approx_quantiles": _rel.approx_quantiles_contract_sql(),
         "windowed_type_counts": _win.windowed_type_counts_sql(),
         "sessionize": _win.sessionize_sql(),
         "lineitem_pricing_summary": _win.lineitem_pricing_summary_sql(),

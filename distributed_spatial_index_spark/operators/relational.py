@@ -133,3 +133,32 @@ def approx_distinct_parts_sql() -> str:
         "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts, "
         "true AS within_bound FROM lineitem"
     )
+
+
+def approx_quantiles_contract(
+    lineitem: DataFrame, rel_err: float = 0.01, col: str = "l_extendedprice",
+) -> DataFrame:
+    """Quantile-sketch contract (the approx_distinct_parts pattern): one row
+    (n_rows, q25_ok, q50_ok, q75_ok, q99_ok) asserting percentile_approx
+    lands within ``rel_err`` of the exact percentile for each quantile.
+    Exact values are never emitted — continuous-interpolation percentiles
+    are not ULP-stable across engines — but the contract is: the oracle
+    expects (count, true, true, true, true), so sketch drift fails loudly."""
+    qs = [0.25, 0.5, 0.75, 0.99]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for q in qs:
+        approx = F.percentile_approx(col, q)
+        exact = F.percentile(col, q)
+        aggs.append(
+            (F.abs(approx - exact) <= F.lit(rel_err) * F.abs(exact)).alias(
+                f"q{int(q * 100)}_ok"
+            )
+        )
+    return lineitem.agg(*aggs)
+
+
+def approx_quantiles_contract_sql() -> str:
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS q25_ok, "
+        "true AS q50_ok, true AS q75_ok, true AS q99_ok FROM lineitem"
+    )

@@ -179,3 +179,49 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint_sql(table: str = "documents", text_col: str = "text") -> str:
     return f"SELECT doc_id, md5(lower(trim({text_col}))) AS fp FROM {table}"
+
+
+def top_terms(
+    docs: DataFrame, k: int = 10, text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """(lang, token, n, rank): the k most frequent tokens per language —
+    corpus vocabulary statistics for training-data analysis.  One shuffle
+    for the (group, token) count (map-side combined), one for the per-group
+    rank over the (small: distinct-token-sized) count table; ties broken by
+    token so the result is deterministic."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(group_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "token", "n", "rank")
+    )
+
+
+def top_terms_sql(
+    table: str = "documents", k: int = 10, text_col: str = "text",
+    group_col: str = "lang",
+) -> str:
+    return f"""
+        SELECT {group_col}, token, n, rank FROM (
+            SELECT {group_col}, token, CAST(count(*) AS BIGINT) AS n,
+                   CAST(row_number() OVER (
+                       PARTITION BY {group_col}
+                       ORDER BY count(*) DESC, token
+                   ) AS INT) AS rank
+            FROM (
+                SELECT {group_col},
+                       unnest(string_split(lower(trim({text_col})), ' ')) AS token
+                FROM {table}
+            )
+            WHERE token <> ''
+            GROUP BY {group_col}, token
+        ) WHERE rank <= {k}
+    """

@@ -40,3 +40,11 @@ def test_approx_distinct_error_bound(spark):
     row = rel.approx_distinct_parts(src.load(spark, SF_DIR, "lineitem")).collect()[0]
     assert row["exact_parts"] > 0
     assert row["within_bound"] is True
+
+def test_approx_quantiles_contract(spark, ddb):
+    got = rel.approx_quantiles_contract(src.load(spark, SF_DIR, "lineitem"))
+    assert_same_rows(
+        got, ddb.execute(rel.approx_quantiles_contract_sql()).fetchall()
+    )
+    row = got.collect()[0]
+    assert row["q25_ok"] and row["q50_ok"] and row["q75_ok"] and row["q99_ok"]

@@ -48,3 +48,18 @@ def test_clean_corpus_vs_duckdb(spark, ddb):
     assert_same_rows(got, rows)
     n = got.count()
     assert 0 < n < 500  # the filters actually filter
+
+
+def test_top_terms_vs_duckdb(spark, ddb):
+    docs = src.load(spark, SF_DIR, "documents")
+    got = ts.top_terms(docs, k=10)
+    rows = ddb.execute(ts.top_terms_sql("documents", k=10)).fetchall()
+    assert_same_rows(got, rows)
+    # exactly k rows per language, ranks 1..k, counts non-increasing
+    per_lang = {}
+    for r in got.collect():
+        per_lang.setdefault(r["lang"], []).append((r["rank"], r["n"]))
+    for lang, rs in per_lang.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i][1] >= rs[i + 1][1] for i in range(len(rs) - 1))
