@@ -331,6 +331,57 @@ def _q_segment_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result_diff(form_segments(traj), stream_out)
 
 
+def _q_latency_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The in-stream latency surface (QueryResultPF.java:44-51) as a gate
+    contract: replay the point table through the latency-stamped windowed
+    join and emit one row (n_rows, latency_nonneg, counts_match) where
+    n_rows is DuckDB-checkable (count of matched (window, query) groups),
+    latencies must be non-negative, and the stamped stream's counts must
+    equal the batch twin's exactly."""
+    from distributed_spatial_index_spark.operators.compare import result_diff
+    from distributed_spatial_index_spark.streaming.replay import replay_stream
+    from distributed_spatial_index_spark.streaming.stream_join import (
+        batch_windowed_match_counts,
+        streaming_range_join_with_latency,
+    )
+
+    pts = src.geo_points(spark, sf_dir, _GEO_TABLE).withColumn(
+        "ts", F.timestamp_millis(F.col("ts"))
+    )
+    qs = src.range_queries(spark, sf_dir, _GEO_TABLE)
+    stream_out = replay_stream(
+        spark, pts, lambda s: streaming_range_join_with_latency(s, qs)
+    )
+    agg = stream_out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.min(F.col("latency_ms")) >= 0).alias("latency_nonneg"),
+    ).collect()[0]
+    diff = result_diff(
+        stream_out.select("win_start", "query_id", "n_matches"),
+        batch_windowed_match_counts(pts, qs),
+    )
+    return spark.createDataFrame(
+        [(agg["n_rows"], bool(agg["latency_nonneg"]), diff.count() == 0)],
+        "n_rows long, latency_nonneg boolean, counts_match boolean",
+    )
+
+
+def _latency_contract_oracle_sql() -> str:
+    pts = src.geo_points_sql(_GEO_TABLE)
+    qs = src.range_queries_sql(_GEO_TABLE)
+    return f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               true AS latency_nonneg, true AS counts_match
+        FROM (
+            SELECT p.ts - (p.ts % 60000) AS win, q.query_id
+            FROM ({pts}) p, ({qs}) q
+            WHERE p.x >= q.xmin - {EPSILON!r} AND p.x <= q.xmax + {EPSILON!r}
+              AND p.y >= q.ymin - {EPSILON!r} AND p.y <= q.ymax + {EPSILON!r}
+            GROUP BY 1, 2
+        )
+    """
+
+
 def _q_salted_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shuffled-regime join (query side NOT broadcast) with hot-cell
     salting — same semantics as range_join, so the same oracle verifies the
@@ -440,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_invariant": _q_span_invariant,
         "stream_batch_parity": _q_stream_batch_parity,
         "segment_stream_parity": _q_segment_stream_parity,
+        "latency_contract": _q_latency_contract,
         "salted_range_join": _q_salted_range_join,
         # lon/lat replay-line ingestion: parse (both line shapes) +
         # ellipsoidal Mercator + drop policy, against a true DuckDB twin
@@ -611,6 +663,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE 1 = 0
         """,
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
+        "latency_contract": _latency_contract_oracle_sql(),
         "token_count": _ts.token_count_sql("documents"),
         "lang_id": _ts.lang_id_sql("documents"),
         "quality_score": _ts.quality_score_sql("documents"),

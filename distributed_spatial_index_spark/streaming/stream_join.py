@@ -117,6 +117,33 @@ def streaming_horizon_range_join(
     )
 
 
+def batch_windowed_match_counts(
+    points: DataFrame,
+    queries: DataFrame,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+) -> DataFrame:
+    """Batch twin of streaming_point_range_join's output (win_start,
+    query_id, n_matches) — the parity target for replay-based gates/tests."""
+    pts = points.withColumn(
+        "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
+    )
+    q = F.broadcast(explode_query_cells(queries, bits, region, eps))
+    matched = pts.join(q, "cell").filter(
+        rect_contains_point(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            F.col("x"), F.col("y"), eps,
+        )
+    )
+    return (
+        matched
+        .groupBy(F.window("ts", f"{WINDOW_MS // 1000} seconds"), "query_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .select(F.col("window.start").alias("win_start"), "query_id", "n_matches")
+    )
+
+
 def streaming_range_join_with_latency(
     doc_stream: DataFrame,
     queries: DataFrame,
