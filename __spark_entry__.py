@@ -279,6 +279,18 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General (mixed-arity) path forced: distributed cell classification +
+    Arrow ray-cast refine."""
+    return pip_join(
+        src.geo_points(spark, sf_dir, _GEO_TABLE),
+        triangle_polygons(src.knn_queries(spark, sf_dir, _GEO_TABLE)),
+        unroll_arity=None,
+    )
+
+
+def _q_pip_join_raycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-arity codegen even-odd path (auto-detected arity): same
+    result set, zero Arrow."""
     return pip_join(
         src.geo_points(spark, sf_dir, _GEO_TABLE),
         triangle_polygons(src.knn_queries(spark, sf_dir, _GEO_TABLE)),
@@ -479,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multires_range_join": _q_multires_range_join,
         "knn": _q_knn,
         "pip_join": _q_pip_join,
+        "pip_join_raycast": _q_pip_join_raycast,
         "pip_join_convex": lambda s, d: convex_pip_join(
             src.geo_points(s, d, _GEO_TABLE),
             triangle_polygons(src.knn_queries(s, d, _GEO_TABLE)),
@@ -629,6 +642,9 @@ def oracle_sql() -> dict[str, str]:
             src.unique_geo_points_sql(_GEO_TABLE), src.knn_queries_sql(_GEO_TABLE), k=5
         ),
         "pip_join": triangle_pip_oracle_sql(pts, src.knn_queries_sql(_GEO_TABLE)),
+        "pip_join_raycast": triangle_pip_oracle_sql(
+            pts, src.knn_queries_sql(_GEO_TABLE)
+        ),
         "pip_join_convex": triangle_pip_oracle_sql(
             pts, src.knn_queries_sql(_GEO_TABLE)
         ),

@@ -197,11 +197,14 @@ def main() -> None:
     # secondary coverage queries
     timed("density_grid", lambda: density_grid(pts))
     timed("knn", lambda: knn(upts, kq, k=5))
-    # bits=9: interior-cell fast path + distributed query-cell
-    # classification; measured faster than 10 (A/B best-of-3: 4.5 vs 5.8 —
-    # the extra covering cells cost more than the finer pruning saves at
-    # this polygon size)
-    timed("pip_join", lambda: pip_join(pts, triangle_polygons(kq), bits=9))
+    # general mixed-arity path (bits=9: interior-cell fast path +
+    # distributed query-cell classification; faster than 10 at this
+    # polygon size — A/B best-of-3: 4.5 vs 5.8)
+    timed("pip_join", lambda: pip_join(
+        pts, triangle_polygons(kq), bits=9, unroll_arity=None))
+    # fixed-arity codegen even-odd: the whole ray-cast in codegen, no Arrow
+    timed("pip_join_raycast", lambda: pip_join(
+        pts, triangle_polygons(kq), bits=9))
     timed("pip_join_convex", lambda: convex_pip_join(
         pts, triangle_polygons(kq), bits=9))
     docs = interleaved_documents(spark, sf_dir)

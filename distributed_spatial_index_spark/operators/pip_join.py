@@ -197,21 +197,105 @@ def _classified_query_cells_df(
     )
 
 
+def unrolled_raycast_pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    arity: int,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+) -> DataFrame:
+    """Even-odd ray casting for FIXED-ARITY rings (concave allowed),
+    entirely in whole-stage codegen: each edge's crossing test and x-
+    intercept comparison is a plain column expression on vertex scalars
+    precomputed on the (tiny, broadcast) query side, XOR-folded across the
+    ``arity`` edges — the same formula the NumPy refine evaluates, in the
+    same IEEE op order, with zero Arrow transfer.  Profiling the general
+    path at sf0.1 showed the refine's 7.4M-row Arrow hop dominating
+    (~x/y/ids for every bbox candidate); this path removes it whenever the
+    polygon table has one vertex count (the common tile/stencil workload).
+
+    Division by zero in the x-intercept (horizontal edge) yields IEEE
+    +-inf, and the crossing conjunct is false for those rows — same
+    non-signaling behavior as the NumPy kernel's errstate-ignored divide.
+    """
+    vx = F.transform(F.col("vertices"), lambda v: v["x"])
+    vy = F.transform(F.col("vertices"), lambda v: v["y"])
+    qside = polygons.select(
+        "query_id", "vertices",
+        F.array_min(vx).alias("xmin"), F.array_min(vy).alias("ymin"),
+        F.array_max(vx).alias("xmax"), F.array_max(vy).alias("ymax"),
+    )
+    for i in range(arity):
+        v = F.element_at("vertices", i + 1)  # 1-based
+        qside = qside.withColumn(f"_v{i}x", v["x"]).withColumn(f"_v{i}y", v["y"])
+    keep = ["query_id", "cell", "xmin", "ymin", "xmax", "ymax"] + [
+        f"_v{i}{a}" for i in range(arity) for a in ("x", "y")
+    ]
+    qcells = qside.withColumn(
+        "cell",
+        F.explode(covering_cells_col(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            bits=bits, region=region,
+        )),
+    ).select(*keep)
+
+    pts = points.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
+    cand = pts.join(F.broadcast(qcells), "cell").filter(
+        (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
+        & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax"))
+    )
+
+    inside = None
+    for i in range(arity):
+        x1, y1 = F.col(f"_v{i}x"), F.col(f"_v{i}y")
+        j = (i + 1) % arity
+        x2, y2 = F.col(f"_v{j}x"), F.col(f"_v{j}y")
+        crosses = (y1 > F.col("y")) != (y2 > F.col("y"))
+        xint = (x2 - x1) * (F.col("y") - y1) / (y2 - y1) + x1
+        term = crosses & (F.col("x") < xint)
+        inside = term if inside is None else (inside != term)  # boolean XOR
+    return (
+        cand.filter(inside)
+        .select("query_id", F.col("id").alias("doc_id"))
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
     bits: int = JOIN_BITS,
     region: Region = DEFAULT_REGION,
+    unroll_arity: int | str | None = "auto",
 ) -> DataFrame:
     """points(id, x, y) ⋈ polygons(query_id, vertices array<struct<x,y>>)
     → (query_id, doc_id) for points strictly inside each polygon.
 
-    Filter: broadcast (query, covering-cell) equi-join, with cells
-    classified interior/boundary DISTRIBUTED (bbox explode in codegen +
-    Arrow-batched classification; see _classified_query_cells_df).  Points
-    in interior cells are emitted directly inside whole-stage codegen; only
-    boundary-cell candidates cross Arrow into the NumPy ray-cast refine.
+    ``unroll_arity="auto"`` detects a fixed vertex count on the (tiny)
+    polygon table and routes to unrolled_raycast_pip_join — the full
+    even-odd test in whole-stage codegen, no Arrow.  Pass ``None`` to
+    force the general path, or an int to skip the detection query.
+
+    General path (mixed-arity rings): broadcast (query, covering-cell)
+    equi-join, with cells classified interior/boundary DISTRIBUTED (bbox
+    explode in codegen + Arrow-batched classification; see
+    _classified_query_cells_df).  Points in interior cells are emitted
+    directly inside whole-stage codegen; only boundary-cell candidates
+    cross Arrow into the NumPy ray-cast refine.
     """
+    if unroll_arity == "auto":
+        sizes = [
+            r["n"]
+            for r in polygons.select(
+                F.size("vertices").alias("n")
+            ).distinct().collect()
+        ]
+        unroll_arity = sizes[0] if len(sizes) == 1 else None
+    if unroll_arity:
+        return unrolled_raycast_pip_join(
+            points, polygons, int(unroll_arity), bits, region
+        )
+
     spark = points.sparkSession
 
     n_polys = polygons.count()

@@ -70,3 +70,28 @@ def test_concave_polygon_vs_numpy(spark):
     inside = ray_cast_np(p[:, 1], p[:, 2], np.array(u))
     expect = sorted(set(int(i) for i in p[inside, 0]))
     assert got == expect and len(expect) > 0
+
+
+def test_unrolled_raycast_concave_matches_general(spark):
+    """The fixed-arity codegen even-odd path must equal the general
+    classify+Arrow-refine path on CONCAVE rings (arrowhead quads) — the
+    case the convex half-plane path cannot serve."""
+    from pyspark.sql import functions as F
+
+    from distributed_spatial_index_spark.operators.pip_join import pip_join
+
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    kq = src.knn_queries(spark, SF_DIR, "lineitem")
+    # concave arrowhead around each query point: (0,-30),(25,20),(0,5),(-25,20)
+    quad = [(0.0, -30.0), (25.0, 20.0), (0.0, 5.0), (-25.0, 20.0)]
+    verts = F.array(*[
+        F.struct((F.col("x") + F.lit(dx)).alias("x"),
+                 (F.col("y") + F.lit(dy)).alias("y"))
+        for dx, dy in quad
+    ])
+    polys = kq.select("query_id", verts.alias("vertices"))
+    fast = pip_join(pts, polys)  # auto-detects arity 4 -> unrolled codegen
+    slow = pip_join(pts, polys, unroll_arity=None)
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, slow.collect()))
+    assert a == b and len(a) > 0
