@@ -343,6 +343,35 @@ def _q_segment_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result_diff(form_segments(traj), stream_out)
 
 
+def _q_pruned_layout_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout surface: write the point table hive-partitioned by
+    coarse Morton cell (fine-cell-clustered within partitions), then run
+    the range join with directory-level partition pruning by the queries'
+    coarse cells.  Same semantics as range_join -> same oracle; what the
+    gate adds is the write->prune->join path over the layout."""
+    import shutil
+    import tempfile
+
+    from distributed_spatial_index_spark.sources.layout import (
+        pruned_point_range_join,
+        read_cell_layout,
+        write_cell_layout,
+    )
+
+    d = tempfile.mkdtemp(prefix="dsi_layout_")
+    try:
+        write_cell_layout(src.geo_points(spark, sf_dir, _GEO_TABLE), d)
+        out = pruned_point_range_join(
+            read_cell_layout(spark, d),
+            src.range_queries(spark, sf_dir, _GEO_TABLE),
+        )
+        out = out.persist()
+        out.count()  # materialize before the layout dir is deleted
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def _q_latency_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The in-stream latency surface (QueryResultPF.java:44-51) as a gate
     contract: replay the point table through the latency-stamped windowed
@@ -506,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_stream_parity": _q_segment_stream_parity,
         "latency_contract": _q_latency_contract,
         "salted_range_join": _q_salted_range_join,
+        "pruned_layout_join": _q_pruned_layout_join,
         # lon/lat replay-line ingestion: parse (both line shapes) +
         # ellipsoidal Mercator + drop policy, against a true DuckDB twin
         "trackpoint_parse": _latlon.parse_trackpoints_gate,
@@ -614,6 +644,13 @@ def oracle_sql() -> dict[str, str]:
         # same semantics, alternative physical strategy (grid co-location +
         # per-partition local index) -> same oracle
         "local_index_range_join": f"""
+            SELECT DISTINCT q.query_id, p.id AS doc_id
+            FROM ({pts}) p, ({qs}) q
+            WHERE p.x >= q.xmin - {EPSILON!r} AND p.x <= q.xmax + {EPSILON!r}
+              AND p.y >= q.ymin - {EPSILON!r} AND p.y <= q.ymax + {EPSILON!r}
+        """,
+        # layout + partition pruning is a physical strategy; same result set
+        "pruned_layout_join": f"""
             SELECT DISTINCT q.query_id, p.id AS doc_id
             FROM ({pts}) p, ({qs}) q
             WHERE p.x >= q.xmin - {EPSILON!r} AND p.x <= q.xmax + {EPSILON!r}
