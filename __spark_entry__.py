@@ -423,6 +423,42 @@ def _latency_contract_oracle_sql() -> str:
     """
 
 
+def _stream_stream_oracle_sql() -> str:
+    from distributed_spatial_index_spark.streaming.stream_join import (
+        stream_stream_join_oracle_sql,
+    )
+
+    return stream_stream_join_oracle_sql(
+        src.geo_points_sql(_GEO_TABLE), src.range_queries_sql(_GEO_TABLE)
+    )
+
+
+def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH sides in motion — the reference's actual replay topology
+    (points AND queries arrive as streams): two-source replay through the
+    stream-stream window-aligned horizon join, deduped to set semantics,
+    against a direct DuckDB twin."""
+    from distributed_spatial_index_spark.streaming.replay import (
+        replay_two_streams,
+    )
+    from distributed_spatial_index_spark.streaming.stream_join import (
+        streaming_stream_stream_range_join,
+    )
+
+    pts = src.geo_points(spark, sf_dir, _GEO_TABLE).withColumn(
+        "ts", F.timestamp_millis(F.col("ts"))
+    )
+    qs = src.range_queries(spark, sf_dir, _GEO_TABLE).withColumn(
+        "qts", F.timestamp_millis(F.col("qts"))
+    )
+    out = replay_two_streams(
+        spark, pts, qs, lambda d, q: streaming_stream_stream_range_join(d, q)
+    )
+    return out.select("query_id", "doc_id").dropDuplicates(
+        ["query_id", "doc_id"]
+    )
+
+
 def _q_salted_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shuffled-regime join (query side NOT broadcast) with hot-cell
     salting — same semantics as range_join, so the same oracle verifies the
@@ -534,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_batch_parity": _q_stream_batch_parity,
         "segment_stream_parity": _q_segment_stream_parity,
         "latency_contract": _q_latency_contract,
+        "stream_stream_join": _q_stream_stream_join,
         "salted_range_join": _q_salted_range_join,
         "pruned_layout_join": _q_pruned_layout_join,
         # lon/lat replay-line ingestion: parse (both line shapes) +
@@ -717,6 +754,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "latency_contract": _latency_contract_oracle_sql(),
+        "stream_stream_join": _stream_stream_oracle_sql(),
         "token_count": _ts.token_count_sql("documents"),
         "lang_id": _ts.lang_id_sql("documents"),
         "quality_score": _ts.quality_score_sql("documents"),

@@ -101,3 +101,64 @@ def replay_stream(
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)
+
+
+def _write_chunks(
+    spark: SparkSession, df: DataFrame, base: str,
+    sort_cols: tuple[str, ...], n_chunks: int,
+) -> None:
+    pdf = df.orderBy(*sort_cols).toPandas()
+    if len(pdf) == 0:
+        raise ValueError("replay needs non-empty input")
+    chunk = max(len(pdf) // n_chunks, 1)
+    for i in range(n_chunks):
+        part = pdf.iloc[i * chunk: None if i == n_chunks - 1 else (i + 1) * chunk]
+        spark.createDataFrame(part, schema=df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/chunk{i:03d}")
+
+
+def replay_two_streams(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    transform,
+    sort_left: tuple[str, ...] = ("ts", "id"),
+    sort_right: tuple[str, ...] = ("qts", "query_id"),
+    n_chunks: int = 3,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Two-source replay for stream-stream operators: each input is chunked
+    time-ordered into its own file source; ``transform(left_stream,
+    right_stream)`` runs with availableNow into a memory sink.  Because the
+    global watermark is the MINIMUM over both sources and each source
+    replays in event-time order, no row is ever late relative to it — the
+    zero-lateness policy drops nothing on a faithful replay."""
+    d = tempfile.mkdtemp(prefix="dsi_replay2_")
+    name = f"replay2_{uuid.uuid4().hex[:12]}"
+    try:
+        _write_chunks(spark, left, f"{d}/left", sort_left, n_chunks)
+        _write_chunks(spark, right, f"{d}/right", sort_right, n_chunks)
+        ls = (
+            spark.readStream.schema(left.schema)
+            .option("maxFilesPerTrigger", 1).parquet(f"{d}/left/chunk*/")
+        )
+        rs = (
+            spark.readStream.schema(right.schema)
+            .option("maxFilesPerTrigger", 1).parquet(f"{d}/right/chunk*/")
+        )
+        q = (
+            transform(ls, rs)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"two-stream replay {name} did not finish")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)

@@ -194,6 +194,116 @@ def streaming_range_join_with_latency(
     )
 
 
+def _horizon_bounds(qts, horizon_windows: int, window_ms: int):
+    """[win_lo, win_hi) covering the ``horizon_windows`` window-aligned
+    windows ending with the window containing ``qts`` (epoch-ms floor
+    arithmetic, mirrored exactly in the SQL twin)."""
+    ms = F.unix_millis(qts)
+    win_start = ms - F.pmod(ms, F.lit(window_ms))
+    lo = win_start - F.lit((horizon_windows - 1) * window_ms)
+    hi = win_start + F.lit(window_ms)
+    return F.timestamp_millis(lo), F.timestamp_millis(hi)
+
+
+def streaming_stream_stream_range_join(
+    doc_stream: DataFrame,
+    query_stream: DataFrame,
+    horizon_windows: int = LOGIC_WINDOW,
+    window_ms: int = WINDOW_MS,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+) -> DataFrame:
+    """BOTH sides in motion — the reference's actual topology: queries
+    arrive in the same replayed stream as the points (ToInputItemFlatMap
+    emits both; LocalTreePF.java:93-103 probes the tree holding the
+    trailing ``horizon_windows`` window-aligned batches of docs).  Spark
+    form: stream-stream INNER join on the point's cell vs the query's
+    exploded covering cells (a pair meets in exactly ONE cell — the
+    point's — so the join itself emits no cell-duplicates), with the
+    window-aligned horizon as a time-range predicate on the two event-time
+    columns.
+
+    Both streams carry 0-second watermarks (the reference's max-1, no
+    lateness).  The horizon bounds are derived columns, which Spark's
+    state-cleanup analyzer does not recognize as a watermark constraint —
+    join state is therefore retained for the run (fine for bounded
+    replays; for an unbounded deployment add a raw-column constraint like
+    ``d.ts BETWEEN q.qts - 8*60s AND q.qts`` alongside, which bounds state
+    and is implied by the window-aligned predicate).
+
+    Emits (query_id, doc_id, qts) match rows in append mode; dedupe
+    downstream when doc ids repeat (source-dependent, exactly like the
+    batch join's set semantics).
+    """
+    d = doc_stream.withWatermark("ts", "0 seconds").withColumn(
+        "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
+    )
+    q = explode_query_cells(
+        query_stream.withWatermark("qts", "0 seconds"), bits, region, eps
+    )
+    lo, hi = _horizon_bounds(F.col("qts"), horizon_windows, window_ms)
+    q = q.withColumn("win_lo", lo).withColumn("win_hi", hi)
+    joined = d.join(q, "cell").filter(
+        rect_contains_point(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            F.col("x"), F.col("y"), eps,
+        )
+        & (F.col("ts") >= F.col("win_lo"))
+        & (F.col("ts") < F.col("win_hi"))
+    )
+    return joined.select("query_id", F.col("id").alias("doc_id"), "qts")
+
+
+def batch_stream_stream_twin(
+    points: DataFrame,
+    queries: DataFrame,
+    horizon_windows: int = LOGIC_WINDOW,
+    window_ms: int = WINDOW_MS,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+) -> DataFrame:
+    """Batch twin of the stream-stream horizon join (points.ts / queries.qts
+    as timestamps), distinct (query_id, doc_id) pairs."""
+    pts = points.withColumn(
+        "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
+    )
+    q = F.broadcast(explode_query_cells(queries, bits, region, eps))
+    lo, hi = _horizon_bounds(F.col("qts"), horizon_windows, window_ms)
+    return (
+        pts.join(q, "cell")
+        .filter(
+            rect_contains_point(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+                F.col("x"), F.col("y"), eps,
+            )
+            & (F.col("ts") >= lo) & (F.col("ts") < hi)
+        )
+        .select("query_id", F.col("id").alias("doc_id"))
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+
+
+def stream_stream_join_oracle_sql(
+    points_sql: str,
+    queries_sql: str,
+    horizon_windows: int = LOGIC_WINDOW,
+    window_ms: int = WINDOW_MS,
+    eps: float = EPSILON,
+) -> str:
+    """DuckDB twin over the derived tables (ts/qts as epoch millis)."""
+    w = window_ms
+    return f"""
+        SELECT DISTINCT q.query_id, p.id AS doc_id
+        FROM ({points_sql}) p, ({queries_sql}) q
+        WHERE p.x >= q.xmin - {eps!r} AND p.x <= q.xmax + {eps!r}
+          AND p.y >= q.ymin - {eps!r} AND p.y <= q.ymax + {eps!r}
+          AND p.ts >= (q.qts - (q.qts % {w})) - {(horizon_windows - 1) * w}
+          AND p.ts < (q.qts - (q.qts % {w})) + {w}
+    """
+
+
 _SEG_STATE_SCHEMA = "ts long, x double, y double"
 _SEG_OUT_SCHEMA = "tid long, ts long, x1 double, y1 double, x2 double, y2 double"
 

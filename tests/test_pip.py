@@ -95,3 +95,50 @@ def test_unrolled_raycast_concave_matches_general(spark):
     a = sorted(map(tuple, fast.collect()))
     b = sorted(map(tuple, slow.collect()))
     assert a == b and len(a) > 0
+
+
+def test_unrolled_raycast_random_pentagons(spark):
+    """Randomized (seeded) pentagons — irregular, some nearly degenerate —
+    must agree with both the general Arrow path and the raw NumPy kernel."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from distributed_spatial_index_spark.operators.pip_join import (
+        pip_join,
+        ray_cast_np,
+    )
+
+    rng = np.random.default_rng(7)
+    n_polys, n_pts = 6, 4000
+    centers = rng.uniform(1000, 7000, size=(n_polys, 2))
+    offsets = rng.uniform(-60, 60, size=(n_polys, 5, 2))
+    px = rng.uniform(900, 7100, n_pts)
+    py = rng.uniform(900, 7100, n_pts)
+
+    pts = spark.createDataFrame(
+        [(i, float(px[i]), float(py[i])) for i in range(n_pts)],
+        "id long, x double, y double",
+    )
+    polys = spark.createDataFrame(
+        [
+            (
+                q,
+                [
+                    {"x": float(centers[q, 0] + offsets[q, v, 0]),
+                     "y": float(centers[q, 1] + offsets[q, v, 1])}
+                    for v in range(5)
+                ],
+            )
+            for q in range(n_polys)
+        ],
+        "query_id long, vertices array<struct<x: double, y: double>>",
+    )
+    fast = sorted(map(tuple, pip_join(pts, polys).collect()))
+    slow = sorted(map(tuple, pip_join(pts, polys, unroll_arity=None).collect()))
+    assert fast == slow
+    expect = []
+    for q in range(n_polys):
+        verts = centers[q][None, :] + offsets[q]
+        inside = ray_cast_np(px, py, verts)
+        expect += [(q, i) for i in np.flatnonzero(inside)]
+    assert fast == sorted(expect) and len(fast) > 0

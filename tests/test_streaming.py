@@ -223,3 +223,36 @@ def test_streaming_segment_former_matches_batch(spark):
         )
         expect = sorted(map(tuple, form_segments(traj).collect()))
         assert got == expect and len(got) > 0
+
+def test_stream_stream_join_matches_batch_and_oracle(spark, ddb):
+    """BOTH sides in motion (the reference's real topology): the
+    stream-stream horizon join must equal the batch twin and the DuckDB
+    twin exactly."""
+    from distributed_spatial_index_spark.streaming.replay import (
+        replay_two_streams,
+    )
+    from distributed_spatial_index_spark.streaming.stream_join import (
+        batch_stream_stream_twin,
+        stream_stream_join_oracle_sql,
+        streaming_stream_stream_range_join,
+    )
+
+    pts = src.geo_points(spark, SF_DIR, "lineitem").withColumn(
+        "ts", F.timestamp_millis(F.col("ts"))
+    )
+    qs = src.range_queries(spark, SF_DIR, "lineitem").withColumn(
+        "qts", F.timestamp_millis(F.col("qts"))
+    )
+    out = replay_two_streams(
+        spark, pts, qs,
+        lambda d, q: streaming_stream_stream_range_join(d, q),
+    )
+    got = sorted({(r["query_id"], r["doc_id"]) for r in out.collect()})
+    expect = sorted(
+        map(tuple, batch_stream_stream_twin(pts, qs).collect())
+    )
+    assert got == expect and len(got) > 0
+    oracle = sorted(ddb.execute(stream_stream_join_oracle_sql(
+        src.geo_points_sql("lineitem"), src.range_queries_sql("lineitem")
+    )).fetchall())
+    assert got == oracle
