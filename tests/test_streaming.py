@@ -256,3 +256,66 @@ def test_stream_stream_join_matches_batch_and_oracle(spark, ddb):
         src.geo_points_sql("lineitem"), src.range_queries_sql("lineitem")
     )).fetchall())
     assert got == oracle
+
+
+def test_zero_lateness_drops_late_rows(spark):
+    """The reference's max-1/no-allowedLateness policy
+    (InputItemTimeAndWater.java:15-24): a row older than the advanced
+    watermark must be DROPPED from the windowed aggregation, not merged.
+
+    Spark nuance this test pins down (measured on 4.1): a batch's watermark
+    is the one computed at the PREVIOUS batch's end, and a window is
+    evicted/emitted at the end of the first batch whose watermark passes
+    its end — so a late row arriving in that same batch still merges; the
+    hard drop applies to rows arriving once the window's state is gone.
+    The replay therefore inserts one batch between the watermark advance
+    and the late row."""
+    import datetime
+    import glob as _glob
+    import os as _os
+    import tempfile
+    import time as _time
+
+    d0 = datetime.datetime(2016, 11, 1)
+
+    def ts(minutes):
+        return d0 + datetime.timedelta(minutes=minutes)
+
+    qs = spark.createDataFrame(
+        [(1, 100.0, 100.0, 140.0, 140.0)],
+        "query_id long, xmin double, ymin double, xmax double, ymax double",
+    )
+    chunks = [
+        # two matches in the same 60s window (t=0s, t=40s)
+        [(1, 120.0, 120.0, ts(0)),
+         (2, 121.0, 121.0, ts(0) + datetime.timedelta(seconds=40))],
+        # advance the watermark far past window [0, 1min)
+        [(3, 122.0, 122.0, ts(90))],
+        # one more batch: window [0, 1min) is evicted and emitted here
+        [(5, 124.0, 124.0, ts(91))],
+        # the LATE row back at t=30s — state gone, watermark 91min: DROPPED
+        [(4, 123.0, 123.0, ts(0) + datetime.timedelta(seconds=30))],
+        # flush so the trailing windows emit
+        [(-1, -1e6, -1e6, ts(300))],
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        base = _time.time()
+        for i, rows in enumerate(chunks):
+            spark.createDataFrame(
+                rows, "id long, x double, y double, ts timestamp"
+            ).coalesce(1).write.parquet(f"{d}/chunk{i}")
+            # the file source orders by modification time; writes land
+            # within one mtime tick, so pin strictly increasing mtimes to
+            # make the watermark progression deterministic
+            for f in _glob.glob(f"{d}/chunk{i}/*"):
+                _os.utime(f, (base + 10 * i, base + 10 * i))
+        stream = spark.readStream.schema(
+            "id long, x double, y double, ts timestamp"
+        ).option("maxFilesPerTrigger", 1).parquet(f"{d}/chunk*/")
+        _run_stream(streaming_point_range_join(stream, qs), "slate")
+        got = {
+            (r["win_start"], r["n_matches"])
+            for r in spark.sql("SELECT * FROM slate").collect()
+        }
+    # late id=4 dropped: the first window stays at 2 and is never re-emitted
+    assert got == {(ts(0), 2), (ts(90), 1), (ts(91), 1)}
