@@ -26,6 +26,21 @@ MEDIA_TYPES = ["image", "audio", "video"]
 HEADER = 8
 
 
+def _parse_header(blob) -> tuple[int, int] | None:
+    """(w, h) from a blob, or None when the blob is malformed (short
+    header, zero dims, or no payload).  Decoders DROP malformed rows —
+    crashing an executor on one corrupt object is never the right
+    behavior in a 100-TB media scan; a real build would also count these
+    into a metrics sink."""
+    b = bytes(blob) if blob is not None else b""
+    if len(b) <= HEADER:
+        return None
+    w, h = struct.unpack("<II", b[:HEADER])
+    if w == 0 or h == 0 or len(b) < HEADER + w * h:
+        return None
+    return int(w), int(h)
+
+
 def media_row(mid: int, max_dim: int = 16, n_frames: int = 4) -> tuple:
     """One deterministic fake media row for ``mid`` — the single source of
     truth for the synthetic blob layout (scripts/gen_expected.py builds its
@@ -95,8 +110,9 @@ def decode_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                w, h = struct.unpack("<II", bytes(blob[:HEADER]))
-                px = np.frombuffer(bytes(blob[HEADER:]), dtype=np.uint8)
+                if _parse_header(blob) is None:
+                    continue  # corrupt object: drop, never crash the scan
+                px = np.frombuffer(bytes(blob)[HEADER:], dtype=np.uint8)
                 hist = np.bincount(px >> 6, minlength=4).astype(np.float64)
                 out.append((
                     int(mid), float(px.mean()), float(px.std()),
@@ -120,8 +136,11 @@ def resize_media(media: DataFrame, new_w: int, new_h: int) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                w, h = struct.unpack("<II", bytes(blob[:HEADER]))
-                px = np.frombuffer(bytes(blob[HEADER:HEADER + w * h]), dtype=np.uint8)
+                wh = _parse_header(blob)
+                if wh is None:
+                    continue  # corrupt object: drop, never crash the scan
+                w, h = wh
+                px = np.frombuffer(bytes(blob)[HEADER:HEADER + w * h], dtype=np.uint8)
                 img = px.reshape(h, w)
                 yi = (np.arange(new_h) * h // new_h)
                 xi = (np.arange(new_w) * w // new_w)
@@ -145,8 +164,11 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                w, h = struct.unpack("<II", bytes(blob[:HEADER]))
-                payload = bytes(blob[HEADER:])
+                wh = _parse_header(blob)
+                if wh is None:
+                    continue  # corrupt object: drop, never crash the scan
+                w, h = wh
+                payload = bytes(blob)[HEADER:]
                 fsize = w * h
                 n_frames = len(payload) // fsize
                 for fno in range(0, n_frames, every_nth):

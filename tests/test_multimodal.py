@@ -49,3 +49,37 @@ def test_sample_frames(spark):
         per.setdefault(r["media_id"], []).append(r["frame_no"])
     for fnos in per.values():
         assert sorted(fnos) == [0, 2]
+
+def test_corrupt_blobs_dropped_not_crashed(spark):
+    """Real-pipeline policy: a corrupt media object (short header, zero
+    dims, truncated payload, NULL) is dropped from every decoder's output;
+    valid rows in the same batch still process."""
+    import struct
+
+    import numpy as np
+
+    from distributed_spatial_index_spark.operators.multimodal import (
+        decode_features,
+        resize_media,
+        sample_frames,
+    )
+
+    good_payload = np.arange(64, dtype=np.uint8).tobytes()
+    rows = [
+        (1, "image", struct.pack("<II", 8, 8) + good_payload),      # valid
+        (2, "image", b"\x01\x02"),                                  # short header
+        (3, "image", struct.pack("<II", 0, 8) + good_payload),      # zero dim
+        (4, "image", struct.pack("<II", 8, 8) + good_payload[:10]),  # truncated
+        (5, "image", None),                                          # null
+        (6, "video", struct.pack("<II", 4, 4) + bytes(range(64))),   # valid, 4 frames
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, blob binary"
+    )
+    dec = decode_features(media).collect()
+    assert sorted(r["media_id"] for r in dec) == [1, 6]
+    rez = resize_media(media, 4, 4).collect()
+    assert sorted(r["media_id"] for r in rez) == [1, 6]
+    frames = sample_frames(media, every_nth=2).collect()
+    assert sorted({r["media_id"] for r in frames}) == [6]
+    assert sorted(r["frame_no"] for r in frames) == [0, 2]
