@@ -1,0 +1,105 @@
+"""Streaming gap-based sessionization: applyInPandasWithState with
+EVENT-TIME TIMEOUT — the remaining keyed-state machinery the segment
+former (NoTimeout) doesn't exercise.
+
+Semantics mirror operators/windows.sessionize exactly: per user, events
+sorted by (ts, event_id); a gap > ``gap_minutes`` closes the session;
+session_id is the 1-based per-user ordinal.  A session closes either
+because a later event for the same user arrives past the gap (emitted in
+that invocation) or because the event-time watermark passes
+``last_event + gap`` (emitted by the timeout callback — Spark's state
+timeout IS the session-gap timer).
+
+Parity with the batch form is proven in tests/test_streaming.py on a
+time-ordered replay; the replay must push the watermark past the last
+session's gap (two trailing flush batches) so every open session times
+out before the stream ends.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, start_ts long, end_ts long"
+)
+# (ordinal of the OPEN session, its start, last event time, its event count)
+_STATE_SCHEMA = "ordinal long, start_ts long, last_ts long, n_events long"
+
+
+def _make_session_fn(gap_ms: int):
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        out: list[tuple[int, int, int, int, int]] = []
+
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: the open session is final.
+            # KEEP the state row (start_ts = -1 sentinel) — it carries the
+            # per-user session ordinal, which must survive session closure
+            # or the next session's id would restart at 1.  No new timeout
+            # is set, so the row stays quiet until the user's next event
+            # (a deployment would add a TTL sweep for fully-idle users).
+            ordinal, start_ts, last_ts, n = state.get
+            if start_ts != -1:
+                out.append((user_id, ordinal, n, start_ts, last_ts))
+            state.update((ordinal, -1, -1, 0))
+        else:
+            pdf = pd.concat(list(batches), ignore_index=True)
+            pdf = pdf.sort_values(["tms", "event_id"])
+            if state.exists:
+                ordinal, start_ts, last_ts, n = state.get
+                if start_ts == -1:
+                    start_ts, last_ts, n = None, None, 0
+            else:
+                ordinal, start_ts, last_ts, n = 0, None, None, 0
+            for tms in pdf["tms"].astype("int64"):
+                tms = int(tms)
+                if start_ts is None:
+                    ordinal, start_ts, last_ts, n = ordinal + 1, tms, tms, 1
+                elif tms - last_ts > gap_ms:
+                    out.append((user_id, ordinal, n, start_ts, last_ts))
+                    ordinal, start_ts, last_ts, n = ordinal + 1, tms, tms, 1
+                else:
+                    last_ts, n = tms, n + 1
+            state.update((ordinal, start_ts, last_ts, n))
+            # fire when the watermark passes the session gap; Spark requires
+            # a timeout strictly beyond the current watermark
+            state.setTimeoutTimestamp(
+                max(last_ts + gap_ms, state.getCurrentWatermarkMs() + 1)
+            )
+
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_id", "n_events", "start_ts", "end_ts"],
+        )
+
+    return fn
+
+
+def streaming_sessionize(
+    event_stream: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """event_stream(user_id, event_id, ts timestamp) -> closed sessions
+    (user_id, session_id, n_events, start_ts, end_ts), epoch-ms longs,
+    identical to operators/windows.sessionize on the same events."""
+    prepared = event_stream.withWatermark("ts", "0 seconds").select(
+        "user_id", "event_id", F.col("ts"),
+        F.unix_millis(F.col("ts")).alias("tms"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(gap_minutes * 60_000),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

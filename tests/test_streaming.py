@@ -319,3 +319,51 @@ def test_zero_lateness_drops_late_rows(spark):
         }
     # late id=4 dropped: the first window stays at 2 and is never re-emitted
     assert got == {(ts(0), 2), (ts(90), 1), (ts(91), 1)}
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    """Gap sessions in-stream (applyInPandasWithState, EventTimeTimeout:
+    the state timeout IS the session-gap timer) must reproduce the batch
+    lag+cumsum sessionize exactly — ids, counts, and bounds."""
+    import datetime
+    import tempfile
+
+    from distributed_spatial_index_spark.operators.windows import sessionize
+    from distributed_spatial_index_spark.streaming.sessions import (
+        streaming_sessionize,
+    )
+
+    ev = src.load(spark, SF_DIR, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pdf = ev.orderBy("ts", "event_id").toPandas()
+        third = len(pdf) // 3
+        for i in range(3):
+            chunk = pdf.iloc[i * third: None if i == 2 else (i + 1) * third]
+            spark.createDataFrame(chunk, schema=ev.schema).coalesce(1).write.mode(
+                "overwrite").parquet(f"{d}/chunk{i}")
+        # two flush batches (dummy user) push the watermark past every open
+        # session's gap so the event-time timeouts fire before stream end
+        max_ts = pdf["ts"].max().to_pydatetime()
+        for j in range(2):
+            flush = spark.createDataFrame(
+                [(-1, -1, max_ts + datetime.timedelta(minutes=40 + j))],
+                "user_id long, event_id long, ts timestamp",
+            )
+            flush.coalesce(1).write.mode("overwrite").parquet(f"{d}/chunk{3 + j}")
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{d}/chunk*/")
+        _run_stream(streaming_sessionize(stream, gap_minutes=30), "ssess")
+        got = sorted(
+            tuple(r) for r in spark.sql(
+                "SELECT * FROM ssess WHERE user_id >= 0").collect()
+        )
+    expect = sorted(
+        map(tuple, sessionize(
+            src.load(spark, SF_DIR, "events"), gap_minutes=30
+        ).select("user_id", "session_id", "n_events", "start_ts", "end_ts")
+        .collect())
+    )
+    assert got == expect and len(got) > 0
