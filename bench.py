@@ -157,7 +157,9 @@ def main() -> None:
 
     # best-of-2 by default so the recorded artifact reflects steady state
     # rather than whatever the shared host was doing during a single run
-    # (round 1's artifact caught a degraded phase at >2x the typical times)
+    # (round-1's artifact caught a degraded phase at >2x typical; best-of-3
+    # would be more stable still, but under the worst observed host phases
+    # it risks outrunning a caller's time budget — 2 is the compromise)
     default_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
     def timed(name, thunk, runs=None):
