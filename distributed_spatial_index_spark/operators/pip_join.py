@@ -197,6 +197,35 @@ def _classified_query_cells_df(
     )
 
 
+def _fixed_arity_query_cells(
+    polygons: DataFrame, arity: int, bits: int, region: Region
+) -> DataFrame:
+    """Broadcast-side builder shared by the fixed-arity codegen PIP paths
+    (unrolled even-odd and convex half-plane): bbox from the vertex array,
+    each vertex materialized as scalar _v{i}x/_v{i}y columns, exploded to
+    the bbox's covering cells."""
+    vx = F.transform(F.col("vertices"), lambda v: v["x"])
+    vy = F.transform(F.col("vertices"), lambda v: v["y"])
+    qside = polygons.select(
+        "query_id", "vertices",
+        F.array_min(vx).alias("xmin"), F.array_min(vy).alias("ymin"),
+        F.array_max(vx).alias("xmax"), F.array_max(vy).alias("ymax"),
+    )
+    for i in range(arity):
+        v = F.element_at("vertices", i + 1)  # 1-based
+        qside = qside.withColumn(f"_v{i}x", v["x"]).withColumn(f"_v{i}y", v["y"])
+    keep = ["query_id", "cell", "xmin", "ymin", "xmax", "ymax"] + [
+        f"_v{i}{a}" for i in range(arity) for a in ("x", "y")
+    ]
+    return qside.withColumn(
+        "cell",
+        F.explode(covering_cells_col(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            bits=bits, region=region,
+        )),
+    ).select(*keep)
+
+
 def unrolled_raycast_pip_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -214,31 +243,16 @@ def unrolled_raycast_pip_join(
     (~x/y/ids for every bbox candidate); this path removes it whenever the
     polygon table has one vertex count (the common tile/stencil workload).
 
-    Division by zero in the x-intercept (horizontal edge) yields IEEE
-    +-inf, and the crossing conjunct is false for those rows — same
-    non-signaling behavior as the NumPy kernel's errstate-ignored divide.
+    Horizontal edges (y1 == y2) can never satisfy the crossing test, but
+    their x-intercept division MUST still be guarded: the engine runs with
+    ANSI mode on, where double division by zero THROWS rather than
+    yielding IEEE inf, and relying on And short-circuiting would break
+    under conjunct reordering.  Each edge term is therefore
+    ``CASE WHEN crosses THEN x < try_divide(...) ELSE false`` — the
+    division only evaluates when y2 - y1 != 0 (crosses implies it), and
+    try_divide is a second belt against any refactor hoisting it.
     """
-    vx = F.transform(F.col("vertices"), lambda v: v["x"])
-    vy = F.transform(F.col("vertices"), lambda v: v["y"])
-    qside = polygons.select(
-        "query_id", "vertices",
-        F.array_min(vx).alias("xmin"), F.array_min(vy).alias("ymin"),
-        F.array_max(vx).alias("xmax"), F.array_max(vy).alias("ymax"),
-    )
-    for i in range(arity):
-        v = F.element_at("vertices", i + 1)  # 1-based
-        qside = qside.withColumn(f"_v{i}x", v["x"]).withColumn(f"_v{i}y", v["y"])
-    keep = ["query_id", "cell", "xmin", "ymin", "xmax", "ymax"] + [
-        f"_v{i}{a}" for i in range(arity) for a in ("x", "y")
-    ]
-    qcells = qside.withColumn(
-        "cell",
-        F.explode(covering_cells_col(
-            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
-            bits=bits, region=region,
-        )),
-    ).select(*keep)
-
+    qcells = _fixed_arity_query_cells(polygons, arity, bits, region)
     pts = points.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
     cand = pts.join(F.broadcast(qcells), "cell").filter(
         (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
@@ -251,8 +265,8 @@ def unrolled_raycast_pip_join(
         j = (i + 1) % arity
         x2, y2 = F.col(f"_v{j}x"), F.col(f"_v{j}y")
         crosses = (y1 > F.col("y")) != (y2 > F.col("y"))
-        xint = (x2 - x1) * (F.col("y") - y1) / (y2 - y1) + x1
-        term = crosses & (F.col("x") < xint)
+        xint = F.try_divide((x2 - x1) * (F.col("y") - y1), (y2 - y1)) + x1
+        term = F.when(crosses, F.col("x") < xint).otherwise(F.lit(False))
         inside = term if inside is None else (inside != term)  # boolean XOR
     return (
         cand.filter(inside)
@@ -388,33 +402,25 @@ def convex_pip_join(
         ]
         arity = sizes[0] if len(sizes) == 1 else None
 
-    vx = F.transform(F.col("vertices"), lambda v: v["x"])
-    vy = F.transform(F.col("vertices"), lambda v: v["y"])
-    qside = polygons.select(
-        "query_id", "vertices",
-        F.array_min(vx).alias("xmin"), F.array_min(vy).alias("ymin"),
-        F.array_max(vx).alias("xmax"), F.array_max(vy).alias("ymax"),
-    )
-
-    keep = ["query_id", "cell", "xmin", "ymin", "xmax", "ymax"]
     if arity is not None:
-        # materialize edge endpoints once per QUERY row (tiny side)
-        for i in range(arity):
-            v = F.element_at("vertices", i + 1)  # 1-based
-            qside = qside.withColumn(f"_v{i}x", v["x"]).withColumn(
-                f"_v{i}y", v["y"]
-            )
-        keep += [f"_v{i}{a}" for i in range(arity) for a in ("x", "y")]
+        # edge endpoints materialized once per QUERY row (tiny side) —
+        # shared builder with the unrolled ray-cast path
+        qcells = _fixed_arity_query_cells(polygons, arity, bits, region)
     else:
-        keep.append("vertices")
-
-    qcells = qside.withColumn(
-        "cell",
-        F.explode(covering_cells_col(
-            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
-            bits=bits, region=region,
-        )),
-    ).select(*keep)
+        vx = F.transform(F.col("vertices"), lambda v: v["x"])
+        vy = F.transform(F.col("vertices"), lambda v: v["y"])
+        qside = polygons.select(
+            "query_id", "vertices",
+            F.array_min(vx).alias("xmin"), F.array_min(vy).alias("ymin"),
+            F.array_max(vx).alias("xmax"), F.array_max(vy).alias("ymax"),
+        )
+        qcells = qside.withColumn(
+            "cell",
+            F.explode(covering_cells_col(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+                bits=bits, region=region,
+            )),
+        ).select("query_id", "cell", "xmin", "ymin", "xmax", "ymax", "vertices")
 
     pts = points.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
     cand = pts.join(F.broadcast(qcells), "cell").filter(

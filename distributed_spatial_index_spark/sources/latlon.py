@@ -161,6 +161,10 @@ def parse_trackpoints_oracle_sql(table: str = "events") -> str:
                         + {_LAT_OFF}) / 1000000.0 AS lat
             FROM {table}
             WHERE (CAST(event_id AS BIGINT) % {_BAD_EVERY}) <> 0
+              -- the reference parses TID as a Java int (TrackPointElem.java:
+              -- 37): an out-of-int32 id fails the parse and the row drops;
+              -- mirror that so the twin holds at ANY user_id scale
+              AND user_id BETWEEN -2147483648 AND 2147483647
         ), proj AS (
             SELECT tid, ts,
                    ({k!r} * ((lon / 180.0 * {pi!r}) - {l0!r})) * 1000.0 AS x,

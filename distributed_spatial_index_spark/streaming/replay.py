@@ -18,6 +18,8 @@ append mode emits every real window before the stream ends.
 
 from __future__ import annotations
 
+import glob
+import os
 import shutil
 import tempfile
 import uuid
@@ -56,23 +58,16 @@ def replay_stream(
     d = tempfile.mkdtemp(prefix="dsi_replay_")
     name = f"replay_{uuid.uuid4().hex[:12]}"
     try:
-        pdf = pts.orderBy(*sort_cols).toPandas()
-        if len(pdf) == 0:
-            raise ValueError("replay_stream needs a non-empty point table")
-        chunk = max(len(pdf) // n_chunks, 1)
-        for i in range(n_chunks):
-            part = pdf.iloc[i * chunk: None if i == n_chunks - 1 else (i + 1) * chunk]
-            spark.createDataFrame(part, schema=pts.schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{d}/chunk{i:03d}")
+        _write_chunks(spark, pts, d, sort_cols, n_chunks)
         # two off-region flush rows past the last horizon window: the first
         # advances the watermark over all real windows, the second flushes
         # the window containing the first (its own never emits — it is empty)
         if flush:
-            max_ts = pdf["ts"].max()
+            max_ts = pts.agg({"ts": "max"}).collect()[0][0]
             for j in range(2):
-                flush_ts = max_ts + (flush_windows + j) * pd.Timedelta(
-                    milliseconds=WINDOW_MS
+                flush_ts = (
+                    pd.Timestamp(max_ts)
+                    + (flush_windows + j) * pd.Timedelta(milliseconds=WINDOW_MS)
                 )
                 fdf = spark.createDataFrame(
                     [(-1, -1e6, -1e6, flush_ts.to_pydatetime())],
@@ -81,6 +76,7 @@ def replay_stream(
                 fdf.coalesce(1).write.mode("overwrite").parquet(
                     f"{d}/chunk{n_chunks + j:03d}"
                 )
+                _pin_mtime(f"{d}/chunk{n_chunks + j:03d}", n_chunks + j)
         stream = (
             spark.readStream.schema(pts.schema)
             .option("maxFilesPerTrigger", 1)
@@ -103,6 +99,16 @@ def replay_stream(
     return spark.table(name)
 
 
+def _pin_mtime(chunk_dir: str, seq: int) -> None:
+    """Give every file in the chunk dir a strictly increasing mtime: the
+    file source orders files by modification time, and chunk writes can
+    land within one clock tick — a misordered replay would turn the
+    zero-lateness watermark into silent row drops."""
+    t = 1_000_000_000 + seq * 10
+    for f in glob.glob(os.path.join(chunk_dir, "*")):
+        os.utime(f, (t, t))
+
+
 def _write_chunks(
     spark: SparkSession, df: DataFrame, base: str,
     sort_cols: tuple[str, ...], n_chunks: int,
@@ -116,6 +122,7 @@ def _write_chunks(
         spark.createDataFrame(part, schema=df.schema).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{base}/chunk{i:03d}")
+        _pin_mtime(f"{base}/chunk{i:03d}", i)
 
 
 def replay_two_streams(

@@ -37,6 +37,28 @@ from distributed_spatial_index_spark.functions.geometry import rect_contains_poi
 from distributed_spatial_index_spark.operators.range_join import explode_query_cells
 
 
+def _cell_matched(
+    pts: DataFrame,
+    queries: DataFrame,
+    bits: int,
+    region: Region,
+    eps: float,
+) -> DataFrame:
+    """Shared match-plan core: cell-route ``pts`` (already watermarked for
+    streaming callers) against the broadcast exploded query cells and apply
+    the epsilon containment refine.  ONE definition feeds both the
+    streaming operators and their batch parity twins — the plans cannot
+    drift apart, and the independent check stays the DuckDB oracle."""
+    pts = pts.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
+    q = F.broadcast(explode_query_cells(queries, bits, region, eps))
+    return pts.join(q, "cell").filter(
+        rect_contains_point(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            F.col("x"), F.col("y"), eps,
+        )
+    )
+
+
 def streaming_point_range_join(
     doc_stream: DataFrame,
     queries: DataFrame,
@@ -50,25 +72,8 @@ def streaming_point_range_join(
     # watermark on the SOURCE side: every input row advances event time,
     # matched or not (matches the reference assigning watermarks at the
     # source, InputItemTimeAndWater.java / StreamingJob.java:125)
-    pts = doc_stream.withWatermark("ts", "0 seconds").withColumn(
-        "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
-    )
-    q = F.broadcast(explode_query_cells(queries, bits, region, eps))
-    matched = pts.join(q, "cell").filter(
-        rect_contains_point(
-            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
-            F.col("x"), F.col("y"), eps,
-        )
-    )
-    return (
-        matched
-        .groupBy(F.window("ts", f"{WINDOW_MS // 1000} seconds"), "query_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
-        .select(
-            F.col("window.start").alias("win_start"),
-            "query_id",
-            "n_matches",
-        )
+    return batch_windowed_match_counts(
+        doc_stream.withWatermark("ts", "0 seconds"), queries, bits, region, eps
     )
 
 
@@ -95,15 +100,8 @@ def streaming_horizon_range_join(
     operators.range_join.horizon_range_join (parity proven in
     tests/test_streaming.py).
     """
-    pts = doc_stream.withWatermark("ts", "0 seconds").withColumn(
-        "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
-    )
-    q = F.broadcast(explode_query_cells(queries, bits, region, eps))
-    matched = pts.join(q, "cell").filter(
-        rect_contains_point(
-            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
-            F.col("x"), F.col("y"), eps,
-        )
+    matched = _cell_matched(
+        doc_stream.withWatermark("ts", "0 seconds"), queries, bits, region, eps
     )
     win = F.window(
         F.col("ts"),
@@ -124,18 +122,10 @@ def batch_windowed_match_counts(
     region: Region = DEFAULT_REGION,
     eps: float = EPSILON,
 ) -> DataFrame:
-    """Batch twin of streaming_point_range_join's output (win_start,
-    query_id, n_matches) — the parity target for replay-based gates/tests."""
-    pts = points.withColumn(
-        "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
-    )
-    q = F.broadcast(explode_query_cells(queries, bits, region, eps))
-    matched = pts.join(q, "cell").filter(
-        rect_contains_point(
-            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
-            F.col("x"), F.col("y"), eps,
-        )
-    )
+    """(win_start, query_id, n_matches) windowed match counts — the ONE
+    plan builder behind streaming_point_range_join (which just watermarks
+    the input first) and the batch parity target."""
+    matched = _cell_matched(points, queries, bits, region, eps)
     return (
         matched
         .groupBy(F.window("ts", f"{WINDOW_MS // 1000} seconds"), "query_id")
@@ -161,17 +151,9 @@ def streaming_range_join_with_latency(
         stamp_wallclock,
     )
 
-    pts = (
-        stamp_wallclock(doc_stream, "input_ms")
-        .withWatermark("ts", "0 seconds")
-        .withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
-    )
-    q = F.broadcast(explode_query_cells(queries, bits, region, eps))
-    matched = pts.join(q, "cell").filter(
-        rect_contains_point(
-            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
-            F.col("x"), F.col("y"), eps,
-        )
+    matched = _cell_matched(
+        stamp_wallclock(doc_stream, "input_ms").withWatermark("ts", "0 seconds"),
+        queries, bits, region, eps,
     )
     agg = (
         matched
@@ -191,6 +173,33 @@ def streaming_range_join_with_latency(
     stamped = stamp_wallclock(agg, "output_ms")
     return stamped.withColumn(
         "latency_ms", F.col("output_ms") - F.col("input_ms")
+    )
+
+
+def _stream_stream_matched(
+    docs: DataFrame,
+    queries: DataFrame,
+    horizon_windows: int,
+    window_ms: int,
+    bits: int,
+    region: Region,
+    eps: float,
+    broadcast_queries: bool,
+) -> DataFrame:
+    """Shared core of the stream-stream horizon join and its batch twin:
+    cell equi-join + epsilon containment + window-aligned horizon bounds
+    on (ts, qts).  Callers watermark (streaming) or broadcast (batch)."""
+    d = docs.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
+    q = explode_query_cells(queries, bits, region, eps)
+    if broadcast_queries:
+        q = F.broadcast(q)
+    lo, hi = _horizon_bounds(F.col("qts"), horizon_windows, window_ms)
+    return d.join(q, "cell").filter(
+        rect_contains_point(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            F.col("x"), F.col("y"), eps,
+        )
+        & (F.col("ts") >= lo) & (F.col("ts") < hi)
     )
 
 
@@ -236,21 +245,11 @@ def streaming_stream_stream_range_join(
     downstream when doc ids repeat (source-dependent, exactly like the
     batch join's set semantics).
     """
-    d = doc_stream.withWatermark("ts", "0 seconds").withColumn(
-        "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
-    )
-    q = explode_query_cells(
-        query_stream.withWatermark("qts", "0 seconds"), bits, region, eps
-    )
-    lo, hi = _horizon_bounds(F.col("qts"), horizon_windows, window_ms)
-    q = q.withColumn("win_lo", lo).withColumn("win_hi", hi)
-    joined = d.join(q, "cell").filter(
-        rect_contains_point(
-            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
-            F.col("x"), F.col("y"), eps,
-        )
-        & (F.col("ts") >= F.col("win_lo"))
-        & (F.col("ts") < F.col("win_hi"))
+    joined = _stream_stream_matched(
+        doc_stream.withWatermark("ts", "0 seconds"),
+        query_stream.withWatermark("qts", "0 seconds"),
+        horizon_windows, window_ms, bits, region, eps,
+        broadcast_queries=False,  # a stream cannot be broadcast
     )
     return joined.select("query_id", F.col("id").alias("doc_id"), "qts")
 
@@ -265,20 +264,13 @@ def batch_stream_stream_twin(
     eps: float = EPSILON,
 ) -> DataFrame:
     """Batch twin of the stream-stream horizon join (points.ts / queries.qts
-    as timestamps), distinct (query_id, doc_id) pairs."""
-    pts = points.withColumn(
-        "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
-    )
-    q = F.broadcast(explode_query_cells(queries, bits, region, eps))
-    lo, hi = _horizon_bounds(F.col("qts"), horizon_windows, window_ms)
+    as timestamps), distinct (query_id, doc_id) pairs.  Same plan builder
+    as the streaming form (_stream_stream_matched) — only the watermarks,
+    the broadcast hint, and the dedup differ."""
     return (
-        pts.join(q, "cell")
-        .filter(
-            rect_contains_point(
-                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
-                F.col("x"), F.col("y"), eps,
-            )
-            & (F.col("ts") >= lo) & (F.col("ts") < hi)
+        _stream_stream_matched(
+            points, queries, horizon_windows, window_ms, bits, region, eps,
+            broadcast_queries=True,
         )
         .select("query_id", F.col("id").alias("doc_id"))
         .dropDuplicates(["query_id", "doc_id"])

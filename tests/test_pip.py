@@ -142,3 +142,27 @@ def test_unrolled_raycast_random_pentagons(spark):
         inside = ray_cast_np(px, py, verts)
         expect += [(q, i) for i in np.flatnonzero(inside)]
     assert fast == sorted(expect) and len(fast) > 0
+
+
+def test_unrolled_raycast_axis_aligned_rectangles(spark):
+    """Axis-aligned rings have horizontal edges whose x-intercept division
+    is by zero — under ANSI mode this must be guarded, not relied on to
+    short-circuit.  Rectangles are the workload the fixed-arity path is
+    built for, so this is the regression fence for that guard."""
+    from pyspark.sql import functions as F
+
+    from distributed_spatial_index_spark.operators.pip_join import pip_join
+
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    kq = src.knn_queries(spark, SF_DIR, "lineitem")
+    # CCW axis-aligned rectangle around each query point
+    rect = [(-20.0, -20.0), (20.0, -20.0), (20.0, 20.0), (-20.0, 20.0)]
+    verts = F.array(*[
+        F.struct((F.col("x") + F.lit(dx)).alias("x"),
+                 (F.col("y") + F.lit(dy)).alias("y"))
+        for dx, dy in rect
+    ])
+    polys = kq.select("query_id", verts.alias("vertices"))
+    fast = sorted(map(tuple, pip_join(pts, polys).collect()))  # unrolled, arity 4
+    slow = sorted(map(tuple, pip_join(pts, polys, unroll_arity=None).collect()))
+    assert fast == slow and len(fast) > 0
