@@ -41,8 +41,6 @@ from distributed_spatial_index_spark.operators.range_join import (
 from distributed_spatial_index_spark.operators.tiles import (
     assign_tiles,
     assign_tiles_sql,
-    tile_counts,
-    tile_counts_sql,
     tile_pyramid,
     tile_pyramid_sql,
 )
@@ -144,10 +142,6 @@ def _q_query_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_tiles(src.geo_points(spark, sf_dir, _GEO_TABLE))
-
-
-def _q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tile_counts(src.geo_points(spark, sf_dir, _GEO_TABLE))
 
 
 def _q_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,10 +547,16 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # NOTE: the driver records at most 50 CORRECTNESS rows (r3 had 53
+        # queries -> exactly the first 50 in dict order landed in the
+        # artifact).  Keep this dict at <= 50 entries; tests/test_contract.py
+        # pins the cap.  tile_counts' gate row was folded into tile_pyramid
+        # (its zoom-4 level is the identical aggregation; the operator keeps
+        # its pytest), customers_with/without_orders into customer_order_flag,
+        # approx_distinct_parts + approx_quantiles into approx_sketch_contracts.
         "range_join": _q_range_join,
         "query_gen": _q_query_gen,
         "tile_assignment": _q_tile_assignment,
-        "tile_counts": _q_tile_counts,
         "tile_pyramid": lambda s, d: tile_pyramid(src.geo_points(s, d, _GEO_TABLE)),
         "density_grid": _q_density_grid,
         "local_index_range_join": _q_local_index_range_join,
@@ -640,10 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": lambda s, d: _rel.pricing_rollup(
             src.load(s, d, "lineitem")
         ),
-        "customers_with_orders": lambda s, d: _rel.customers_with_orders(
-            src.load(s, d, "customer"), src.load(s, d, "orders")
-        ),
-        "customers_without_orders": lambda s, d: _rel.customers_without_orders(
+        # semi + anti join in one slot (50-row driver cap)
+        "customer_order_flag": lambda s, d: _rel.customer_order_flag(
             src.load(s, d, "customer"), src.load(s, d, "orders")
         ),
         "events_json_extract": lambda s, d: _rel.events_json_extract(
@@ -652,10 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_monthly": lambda s, d: _rel.orders_monthly(
             src.load(s, d, "orders")
         ),
-        "approx_distinct_parts": lambda s, d: _rel.approx_distinct_parts(
-            src.load(s, d, "lineitem")
-        ),
-        "approx_quantiles": lambda s, d: _rel.approx_quantiles_contract(
+        # HLL-distinct + quantile sketch contracts in one slot
+        "approx_sketch_contracts": lambda s, d: _rel.approx_sketch_contracts(
             src.load(s, d, "lineitem")
         ),
         # windowed / relational aggregation shapes (SURVEY.md A1/A2)
@@ -698,7 +694,6 @@ def oracle_sql() -> dict[str, str]:
         "str_range_join": range_join_oracle,
         "query_gen": qs,
         "tile_assignment": assign_tiles_sql(pts),
-        "tile_counts": tile_counts_sql(pts),
         "tile_pyramid": tile_pyramid_sql(pts),
         "density_grid": density_grid_sql(pts),
         "knn": knn_oracle_sql(
@@ -770,12 +765,10 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", threshold=0.3
         ),
         "pricing_rollup": _rel.pricing_rollup_sql(),
-        "customers_with_orders": _rel.customers_with_orders_sql(),
-        "customers_without_orders": _rel.customers_without_orders_sql(),
+        "customer_order_flag": _rel.customer_order_flag_sql(),
         "events_json_extract": _rel.events_json_extract_sql(),
         "orders_monthly": _rel.orders_monthly_sql(),
-        "approx_distinct_parts": _rel.approx_distinct_parts_sql(),
-        "approx_quantiles": _rel.approx_quantiles_contract_sql(),
+        "approx_sketch_contracts": _rel.approx_sketch_contracts_sql(),
         "windowed_type_counts": _win.windowed_type_counts_sql(),
         "sessionize": _win.sessionize_sql(),
         "lineitem_pricing_summary": _win.lineitem_pricing_summary_sql(),

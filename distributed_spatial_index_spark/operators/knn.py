@@ -27,9 +27,13 @@ from pyspark.sql import functions as F
 
 _log = logging.getLogger(__name__)
 
-# Populated by every knn() call: rounds_run, stragglers (queries left when
-# the ring loop ended), fallback_used.  A driver-side metrics surface for
-# the loud-fallback contract (tests assert it; pipelines can export it).
+# Snapshot of the MOST RECENT knn() call's stats (rounds_run, stragglers,
+# fallback_used).  REBOUND to a fresh dict per call — never mutated in
+# place — so a reader always sees one call's consistent counters, not an
+# interleaving.  For an unambiguous per-call channel use the ``knn_stats``
+# attribute on the returned DataFrame (or ``.knn_stats`` on the raised
+# RuntimeError); this global is a convenience for REPL/pipeline use where
+# calls are sequential.
 last_stats: dict[str, int | bool] = {}
 
 from distributed_spatial_index_spark.config import (
@@ -75,8 +79,11 @@ def knn(
     Queries still unsettled after ``max_rounds`` fall back to a brute-force
     ranking, BOUNDED by ``fallback_cap`` stragglers (the fallback shuffles
     |docs| x |stragglers| rows); beyond the cap the call raises loudly
-    instead of submitting a quadratic join.  Per-call counters land in
-    ``knn.last_stats`` (rounds_run, stragglers, fallback_used).
+    instead of submitting a quadratic join.  Per-call counters
+    (rounds_run, stragglers, fallback_used) are attached to the returned
+    DataFrame as ``.knn_stats`` (and to the raised error as
+    ``.knn_stats``); the module global ``knn.last_stats`` is rebound to
+    the same snapshot for sequential-call convenience.
 
     Returns (query_id, rank, doc_id, d2); rank 1..k ordered by squared L2
     distance then doc_id.  ``points`` must be unique by id (dedupe upstream
@@ -84,6 +91,7 @@ def knn(
     (per-round frames are unpersisted after the union materializes);
     callers may ``unpersist()`` it when done.
     """
+    global last_stats
     spark = points.sparkSession
     pts = points.select(
         F.col("id"), F.col("x").alias("px"), F.col("y").alias("py")
@@ -188,16 +196,19 @@ def knn(
             pts.unpersist()
             for rdf in rounds + rem_frames:
                 rdf.unpersist()
-            last_stats.update(
-                rounds_run=max_rounds, stragglers=n_remaining, fallback_used=False
-            )
-            raise RuntimeError(
+            last_stats = {
+                "rounds_run": max_rounds, "stragglers": n_remaining,
+                "fallback_used": False,
+            }
+            err = RuntimeError(
                 f"knn: {n_remaining} queries unsettled after {max_rounds} "
                 f"rounds exceeds fallback_cap={fallback_cap}; the brute-force "
                 f"fallback would shuffle |docs| x {n_remaining} rows. Raise "
                 "max_rounds/growth (ring search) or fallback_cap (accept the "
                 "bounded brute-force) explicitly."
             )
+            err.knn_stats = last_stats
+            raise err
         if n_remaining > 0:
             _log.warning(
                 "knn: %d straggler queries after %d rounds; running the "
@@ -215,11 +226,11 @@ def knn(
                 .select("query_id", "rank", "doc_id", "d2")
             )
 
-    last_stats.update(
-        rounds_run=rounds_run,
-        stragglers=max(n_remaining, 0),
-        fallback_used=rounds_run >= max_rounds and n_remaining > 0,
-    )
+    last_stats = {
+        "rounds_run": rounds_run,
+        "stragglers": max(n_remaining, 0),
+        "fallback_used": rounds_run >= max_rounds and n_remaining > 0,
+    }
 
     out: DataFrame | None = None
     for rdf in rounds:
@@ -229,9 +240,11 @@ def knn(
         pts.unpersist()
         for rdf in rem_frames:
             rdf.unpersist()
-        return spark.createDataFrame(
+        empty = spark.createDataFrame(
             [], "query_id long, rank int, doc_id long, d2 double"
         )
+        empty.knn_stats = last_stats
+        return empty
     out = out.persist()
     out.count()  # queries*k rows — tiny; lets every input cache go
     for rdf in rounds:
@@ -239,6 +252,7 @@ def knn(
     for rdf in rem_frames:
         rdf.unpersist()  # unpersist is idempotent; sweep covers all paths
     pts.unpersist()
+    out.knn_stats = last_stats
     return out
 
 

@@ -91,8 +91,12 @@ def media_from_documents(
     spark: SparkSession, sf_dir: str, max_dim: int = 16, n_frames: int = 4
 ) -> DataFrame:
     """Scale-factor-coupled media table: one fake blob per documents row
-    (media_id = doc_id).  This is the driver-gate input — output row sets
-    differ per sf because the doc_id set does."""
+    (media_id = doc_id).  This is the driver-gate input.  Note the testdata
+    documents doc_id SETS coincide between sf0.001 and sf0.01 (only doc
+    bodies differ), so the committed expected parquets for the media gates
+    are byte-identical across those sfs — sf dispatch correctness in
+    _expected_parquet_sql comes from the lineitem row-count key, not from
+    differing media rows."""
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("media_id")
     )

@@ -64,6 +64,30 @@ def customers_without_orders_sql() -> str:
     """
 
 
+def customer_order_flag(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi + anti join in one gate row: every customer tagged with whether
+    they have orders.  Built as the UNION of a left-semi and a left-anti
+    join (NOT as an EXISTS expression) so BOTH physical join paths stay
+    gate-exercised in a single driver slot (the driver caps CORRECTNESS at
+    50 rows; see NOTES_r4.md)."""
+    return customers_with_orders(customer, orders).withColumn(
+        "has_orders", F.lit(True)
+    ).unionByName(
+        customers_without_orders(customer, orders).withColumn(
+            "has_orders", F.lit(False)
+        )
+    )
+
+
+def customer_order_flag_sql() -> str:
+    return """
+        SELECT c_custkey, c_mktsegment,
+               EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey) AS has_orders
+        FROM customer c
+    """
+
+
 def events_json_extract(events: DataFrame) -> DataFrame:
     """JSON property extraction from the events props column."""
     return events.select(
@@ -161,4 +185,23 @@ def approx_quantiles_contract_sql() -> str:
     return (
         "SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS q25_ok, "
         "true AS q50_ok, true AS q75_ok, true AS q99_ok FROM lineitem"
+    )
+
+
+def approx_sketch_contracts(lineitem: DataFrame) -> DataFrame:
+    """Both sketch contracts (HLL distinct + quantile) as ONE single-row
+    gate: cross join of two 1-row frames is a free BroadcastNestedLoopJoin.
+    One driver slot instead of two (50-row driver cap, NOTES_r4.md); the
+    individual contracts remain separately pytest-covered."""
+    return approx_distinct_parts(lineitem).crossJoin(
+        approx_quantiles_contract(lineitem)
+    )
+
+
+def approx_sketch_contracts_sql() -> str:
+    return (
+        "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts, "
+        "true AS within_bound, CAST(count(*) AS BIGINT) AS n_rows, "
+        "true AS q25_ok, true AS q50_ok, true AS q75_ok, true AS q99_ok "
+        "FROM lineitem"
     )

@@ -107,6 +107,13 @@ class Checkpointer:
             row, "step string, metric string, value double, seq long"
         ).coalesce(1).write.mode("append").parquet(os.path.join(self.root, "metrics"))
 
+    def record_metric(self, step: str, metric: str, value: float) -> None:
+        """Append a caller-supplied metric row (e.g. operator counters like
+        knn's rounds/stragglers/fallback) to the same metrics table the
+        step timings land in — operator health is then observable in the
+        production artifact, not only in test asserts."""
+        self._metric(step, metric, value)
+
     # -- introspection --
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "metrics"))

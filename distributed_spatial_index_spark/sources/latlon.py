@@ -33,18 +33,24 @@ def parse_trackpoint_lines(lines: DataFrame, column: str = "value") -> DataFrame
     fail to parse (non-numeric, bad date) or whose projection leaves the
     valid range are dropped, exactly like the reference's catch-and-mark.
     """
+    # Normalize BOTH line shapes to one 5-field form before splitting:
+    # tabs -> commas, then the comma shape's "date time" field is split on
+    # the space following a date literal (only that space — padded numeric
+    # fields still parse via try_cast's trim, like Java's parseDouble).
+    # One shape means NO per-field when(five, ...) branching: the expression
+    # tree halves, which keeps the fused gate plan (line build + parse +
+    # Mercator + count) inside Janino's 64 KB method limit —
+    # tests/test_latlon.py::test_trackpoint_gate_stays_in_codegen pins it.
     v = F.regexp_replace(F.col(column), "\t", ",")
+    v = F.regexp_replace(v, r"(\d{4}-\d{2}-\d{2}) ", "$1,")
     p = F.split(v, ",")
-    five = F.size(p) >= 5  # tab shape normalized: TID,date,time,lon,lat
     # F.get (NULL on out-of-bounds) not [] (throws): a malformed short line
     # must fall through to the NULL-drop filter, exactly the reference's
     # catch-and-mark row drop (TrackPointElem.java:63-66)
-    date_time = F.when(
-        five, F.concat_ws(" ", F.get(p, 1), F.get(p, 2))
-    ).otherwise(F.get(p, 1))
+    date_time = F.concat_ws(" ", F.get(p, 1), F.get(p, 2))
     # try_cast: NULL on malformed fields (ANSI mode would throw)
-    lon = F.when(five, F.get(p, 3)).otherwise(F.get(p, 2)).try_cast("double")
-    lat = F.when(five, F.get(p, 4)).otherwise(F.get(p, 3)).try_cast("double")
+    lon = F.get(p, 3).try_cast("double")
+    lat = F.get(p, 4).try_cast("double")
     tid = F.get(p, 0).try_cast("int")
     # try_to_timestamp -> NULL on malformed dates instead of an exception
     ts = (
@@ -134,8 +140,19 @@ def trackpoint_lines_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def parse_trackpoints_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The gated surface: build replay lines, run the production parser +
-    projection + drop policy, round x/y to whole meters."""
-    out = parse_trackpoint_lines(trackpoint_lines_from_events(spark, sf_dir))
+    projection + drop policy, round x/y to whole meters.
+
+    The line table is localCheckpoint-ed first: fusing the synthetic line
+    BUILD with the parse would re-inline the whole build tree into every
+    parse field (filter pushdown through projects duplicates expression
+    trees) and blow Janino's 64 KB method limit into interpreted fallback.
+    The barrier gives two independently-codegen'd stages — exactly the
+    production shape, where lines arrive from a text source scan boundary
+    anyway (test_trackpoint_gate_stays_in_codegen pins both)."""
+    lines = trackpoint_lines_from_events(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    out = parse_trackpoint_lines(lines)
     return out.select(
         F.col("tid").cast("long").alias("tid"),  # events.user_id is BIGINT
         "ts",

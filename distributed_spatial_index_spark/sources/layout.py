@@ -26,6 +26,7 @@ from distributed_spatial_index_spark.config import (
 from distributed_spatial_index_spark.functions.cells import (
     cell_coord_np,
     cell_id_col,
+    covering_cells_col,
     morton_np,
 )
 from distributed_spatial_index_spark.operators.range_join import point_range_join
@@ -59,14 +60,122 @@ def read_cell_layout(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# --- Iceberg-shaped manifest pruning (SURVEY.md §7.2 step 9) -----------------
+#
+# Iceberg prunes at two metadata levels before touching data: partition
+# values (directory-equivalent) and per-FILE column min/max stats from the
+# manifest.  The sandbox has no Iceberg jars, so this is the parquet
+# stand-in with the same architecture: a committed manifest table holding
+# per-file (pcell, fcell_min, fcell_max, n_rows), consulted BEFORE the scan
+# to hand Spark only the files whose fine-cell range can matter.  Because
+# write_cell_layout clusters rows by fcell within partitions, file-level
+# Morton ranges are tight and selective queries skip most files of even a
+# hot partition — the level directory pruning alone cannot reach.
+
+
+def write_manifest(spark: SparkSession, path: str) -> None:
+    """Build the per-file manifest for a write_cell_layout table: one scan
+    of the layout's fcell column grouped by ``_metadata.file_path`` (the
+    stand-in for Iceberg reading parquet footer stats at commit time);
+    written next to the data as ``<path>/_manifest``."""
+    df = spark.read.parquet(path)
+    (
+        df.groupBy(
+            F.col("_metadata.file_path").alias("file_path"), F.col("pcell")
+        )
+        .agg(
+            F.min("fcell").alias("fcell_min"),
+            F.max("fcell").alias("fcell_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_manifest")
+    )
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/_manifest")
+
+
+def manifest_select_files(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    fine_bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+) -> tuple[list[str], int]:
+    """(files to scan, total files in the manifest): a file survives iff
+    some query's fine covering cell lands inside its [fcell_min, fcell_max]
+    Morton range.  The wanted-cell set is derived distributed (explode per
+    query, distinct); the interval join broadcasts the manifest (per-file
+    rows — metadata-scale by construction) and only distinct FILE PATHS are
+    collected, bounded by the file count regardless of |queries|."""
+    wanted = queries.select(
+        F.explode(
+            covering_cells_col(
+                F.col("xmin") - F.lit(eps), F.col("ymin") - F.lit(eps),
+                F.col("xmax") + F.lit(eps), F.col("ymax") + F.lit(eps),
+                bits=fine_bits, region=region,
+            )
+        ).alias("c")
+    ).distinct()
+    man = read_manifest(spark, path)
+    hits = (
+        wanted.join(
+            F.broadcast(man),
+            (F.col("c") >= F.col("fcell_min")) & (F.col("c") <= F.col("fcell_max")),
+        )
+        .select("file_path")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["file_path"] for r in hits), man.count()
+
+
+def manifest_pruned_point_range_join(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    fine_bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+) -> DataFrame:
+    """Range join reading ONLY the manifest-selected files (file-level skip
+    on top of — and finer than — the pcell directory pruning).  Results are
+    identical to the unpruned join: a skipped file, by the manifest range,
+    cannot contain a fine cell any query covers, and the fine-cell route
+    in point_range_join only ever matches on covering cells.
+
+    ``fine_bits`` MUST equal the ``fine_bits`` the layout was written with
+    (the manifest ranges are over that cell resolution).  Scan/skip counts
+    are attached to the result as ``.manifest_stats``."""
+    files, n_total = manifest_select_files(
+        spark, path, queries, fine_bits, region, eps
+    )
+    if not files:
+        return spark.createDataFrame([], "query_id long, doc_id long")
+    # basePath keeps the hive pcell partition column when addressing leaves
+    pruned = spark.read.option("basePath", path).parquet(*files)
+    out = point_range_join(
+        pruned.select("id", "x", "y"), queries, bits=fine_bits, region=region,
+        eps=eps,
+    )
+    out.manifest_stats = {"files_scanned": len(files), "files_total": n_total}
+    return out
+
+
 def query_coarse_cells(
     queries_rows: list,
     coarse_bits: int = COARSE_BITS,
     region: Region = DEFAULT_REGION,
     eps: float = EPSILON,
 ) -> list[int]:
-    """Coarse cells overlapped by any query rect (driver-side NumPy over the
-    small query list) — the static pruning predicate."""
+    """Coarse cells overlapped by any query rect (driver-side NumPy over a
+    small query list).  pruned_point_range_join derives this set
+    DISTRIBUTED instead; this form remains as its independent test oracle
+    (test_layout.py::test_distributed_coarse_cells_match_numpy_oracle)."""
     n = 1 << coarse_bits
     cells: set[int] = set()
     for r in queries_rows:
@@ -89,9 +198,26 @@ def pruned_point_range_join(
 ) -> DataFrame:
     """Range join over a cell-partitioned table: prune partitions by the
     queries' coarse cells first (directory-level skip), then the normal
-    fine-cell route + refine."""
-    qrows = queries.select("query_id", "xmin", "ymin", "xmax", "ymax").collect()
-    cells = query_coarse_cells(qrows, coarse_bits, region, eps)
+    fine-cell route + refine.
+
+    The coarse-cell set is derived DISTRIBUTED (explode each query's
+    covering cells at coarse_bits, distinct) and only the distinct cell ids
+    reach the driver — bounded by 4^coarse_bits rows regardless of |queries|,
+    so a 10M-query batch never materializes on the driver.  The collected
+    ids must then be a LITERAL isin: directory-level partition pruning
+    happens at planning time, which a join cannot express."""
+    cells = sorted(
+        r["pcell"]
+        for r in queries.select(
+            F.explode(
+                covering_cells_col(
+                    F.col("xmin") - F.lit(eps), F.col("ymin") - F.lit(eps),
+                    F.col("xmax") + F.lit(eps), F.col("ymax") + F.lit(eps),
+                    bits=coarse_bits, region=region,
+                )
+            ).alias("pcell")
+        ).distinct().collect()
+    )
     pruned = layout.filter(F.col("pcell").isin(cells))
     return point_range_join(
         pruned.select("id", "x", "y"), queries, bits=fine_bits, region=region,

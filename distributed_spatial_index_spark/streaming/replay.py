@@ -30,6 +30,26 @@ from pyspark.sql import DataFrame, SparkSession
 from distributed_spatial_index_spark.config import LOGIC_WINDOW, WINDOW_MS
 
 
+def _default_flush_row(schema, flush_ts):
+    """One off-region watermark-advancing row for an arbitrary watermarked
+    schema: the event-time (timestamp) column gets ``flush_ts``; numeric
+    columns get off-region sentinels (-1 for ids, -1e6 for coordinates so
+    the row can never match a query cell); everything else NULL.  Callers
+    with a different contract pass ``flush_row_factory`` explicitly."""
+    row = {}
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t == "timestamp":
+            row[f.name] = flush_ts.to_pydatetime()
+        elif t in ("long", "integer", "short", "byte"):
+            row[f.name] = -1
+        elif t == "double" or t == "float":
+            row[f.name] = -1e6
+        else:
+            row[f.name] = None
+    return row
+
+
 def replay_stream(
     spark: SparkSession,
     pts: DataFrame,
@@ -39,6 +59,9 @@ def replay_stream(
     timeout_sec: int = 300,
     sort_cols: tuple[str, ...] = ("ts", "id"),
     flush: bool = True,
+    flush_row_factory=None,
+    ts_col: str = "ts",
+    progress_out: list | None = None,
 ) -> DataFrame:
     """pts -> batch DataFrame of ``transform(stream over pts)``.
 
@@ -50,28 +73,35 @@ def replay_stream(
     helper is only the parity-witness harness.
 
     ``flush=True`` (watermarked window aggregations) appends two off-region
-    rows — schema (id, x, y, ts timestamp) — past the last horizon window
-    so append mode emits every real window before the stream ends.  Pass
+    rows past the last horizon window so append mode emits every real
+    window before the stream ends.  The flush row is derived from
+    ``pts.schema`` (timestamp column = flush time, numeric columns =
+    off-region sentinels) — pass ``flush_row_factory(schema, flush_ts) ->
+    dict`` for streams whose sentinel contract differs.  Pass
     ``flush=False`` for keyed-state transforms (applyInPandasWithState
     with NoTimeout) that emit per micro-batch and need no watermark push.
+
+    ``progress_out``: a caller-provided list that receives the query's
+    ``recentProgress`` entries after termination (state-store metrics for
+    the state-bound tests and the streaming bench row).
     """
     d = tempfile.mkdtemp(prefix="dsi_replay_")
     name = f"replay_{uuid.uuid4().hex[:12]}"
+    make_row = flush_row_factory or _default_flush_row
     try:
         _write_chunks(spark, pts, d, sort_cols, n_chunks)
         # two off-region flush rows past the last horizon window: the first
         # advances the watermark over all real windows, the second flushes
         # the window containing the first (its own never emits — it is empty)
         if flush:
-            max_ts = pts.agg({"ts": "max"}).collect()[0][0]
+            max_ts = pts.agg({ts_col: "max"}).collect()[0][0]
             for j in range(2):
                 flush_ts = (
                     pd.Timestamp(max_ts)
                     + (flush_windows + j) * pd.Timedelta(milliseconds=WINDOW_MS)
                 )
                 fdf = spark.createDataFrame(
-                    [(-1, -1e6, -1e6, flush_ts.to_pydatetime())],
-                    "id long, x double, y double, ts timestamp",
+                    [make_row(pts.schema, flush_ts)], pts.schema
                 ).select(*pts.columns)
                 fdf.coalesce(1).write.mode("overwrite").parquet(
                     f"{d}/chunk{n_chunks + j:03d}"
@@ -94,6 +124,8 @@ def replay_stream(
         if q.isActive:
             q.stop()
             raise TimeoutError(f"replay stream {name} did not finish")
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)
@@ -134,6 +166,7 @@ def replay_two_streams(
     sort_right: tuple[str, ...] = ("qts", "query_id"),
     n_chunks: int = 3,
     timeout_sec: int = 300,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Two-source replay for stream-stream operators: each input is chunked
     time-ordered into its own file source; ``transform(left_stream,
@@ -166,6 +199,8 @@ def replay_two_streams(
         if q.isActive:
             q.stop()
             raise TimeoutError(f"two-stream replay {name} did not finish")
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)

@@ -33,7 +33,7 @@ _OUT_SCHEMA = (
 _STATE_SCHEMA = "ordinal long, start_ts long, last_ts long, n_events long"
 
 
-def _make_session_fn(gap_ms: int):
+def _make_session_fn(gap_ms: int, idle_ttl_ms: int | None = None):
     def fn(
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
@@ -46,13 +46,26 @@ def _make_session_fn(gap_ms: int):
             # watermark passed last_ts + gap: the open session is final.
             # KEEP the state row (start_ts = -1 sentinel) — it carries the
             # per-user session ordinal, which must survive session closure
-            # or the next session's id would restart at 1.  No new timeout
-            # is set, so the row stays quiet until the user's next event
-            # (a deployment would add a TTL sweep for fully-idle users).
+            # or the next session's id would restart at 1.
             ordinal, start_ts, last_ts, n = state.get
-            if start_ts != -1:
+            if start_ts == -1:
+                # second (TTL) timeout on an already-closed sentinel: the
+                # user has been idle past idle_ttl — evict the state row.
+                # (Only reachable with idle_ttl_ms set; the no-TTL mode
+                # never re-arms a timeout on a sentinel.)
+                state.remove()
+            else:
                 out.append((user_id, ordinal, n, start_ts, last_ts))
-            state.update((ordinal, -1, -1, 0))
+                state.update((ordinal, -1, last_ts, 0))
+                if idle_ttl_ms is not None:
+                    # arm the idle sweep: if no event arrives before
+                    # last_ts + idle_ttl, the sentinel row is removed above
+                    state.setTimeoutTimestamp(
+                        max(last_ts + idle_ttl_ms,
+                            state.getCurrentWatermarkMs() + 1)
+                    )
+                # else: no new timeout — the sentinel stays quiet (and
+                # resident) until the user's next event
         else:
             pdf = pd.concat(list(batches), ignore_index=True)
             pdf = pdf.sort_values(["tms", "event_id"])
@@ -87,17 +100,28 @@ def _make_session_fn(gap_ms: int):
 
 
 def streaming_sessionize(
-    event_stream: DataFrame, gap_minutes: int = 30
+    event_stream: DataFrame, gap_minutes: int = 30,
+    idle_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """event_stream(user_id, event_id, ts timestamp) -> closed sessions
     (user_id, session_id, n_events, start_ts, end_ts), epoch-ms longs,
-    identical to operators/windows.sessionize on the same events."""
+    identical to operators/windows.sessionize on the same events.
+
+    ``idle_ttl_minutes``: when set, a user idle past the TTL (event time,
+    measured from their last event) has their sentinel state row EVICTED,
+    so the state store is bounded by the active-user count instead of the
+    all-time user count.  A user returning BEYOND the TTL restarts at
+    session_id 1 (the ordinal went with the row) — that is the documented
+    trade for bounded state; returning WITHIN the TTL preserves ordinals
+    exactly.  Default None keeps the unbounded exact-ordinal semantics
+    (bit-identical to the batch twin on any replay)."""
     prepared = event_stream.withWatermark("ts", "0 seconds").select(
         "user_id", "event_id", F.col("ts"),
         F.unix_millis(F.col("ts")).alias("tms"),
     )
+    ttl_ms = None if idle_ttl_minutes is None else idle_ttl_minutes * 60_000
     return prepared.groupBy("user_id").applyInPandasWithState(
-        _make_session_fn(gap_minutes * 60_000),
+        _make_session_fn(gap_minutes * 60_000, ttl_ms),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

@@ -194,12 +194,32 @@ def _stream_stream_matched(
     if broadcast_queries:
         q = F.broadcast(q)
     lo, hi = _horizon_bounds(F.col("qts"), horizon_windows, window_ms)
+    # Redundant RAW-COLUMN time-range bound alongside the window-aligned
+    # horizon predicate: win_start(qts) is in (qts - w, qts], so the horizon
+    # [lo, hi) implies qts - h*w < ts <= qts + w — adding it never changes
+    # the result set.  What it buys: Spark's stream-stream state cleanup
+    # only recognizes range conditions on the raw watermarked event-time
+    # columns (StreamingJoinHelper canonicalizes `ts <cmp> qts +- literal`),
+    # not the derived floor-arithmetic columns — with this bound both sides'
+    # join state is evicted as the watermark advances instead of being
+    # retained for the whole run (tests/test_streaming.py::
+    # test_stream_stream_state_bounded).
+    raw_bound = (
+        F.col("ts")
+        >= F.col("qts") - F.expr(
+            f"INTERVAL {horizon_windows * window_ms} MILLISECONDS"
+        )
+    ) & (
+        F.col("ts")
+        <= F.col("qts") + F.expr(f"INTERVAL {window_ms} MILLISECONDS")
+    )
     return d.join(q, "cell").filter(
         rect_contains_point(
             F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
             F.col("x"), F.col("y"), eps,
         )
         & (F.col("ts") >= lo) & (F.col("ts") < hi)
+        & raw_bound
     )
 
 
@@ -234,12 +254,12 @@ def streaming_stream_stream_range_join(
     columns.
 
     Both streams carry 0-second watermarks (the reference's max-1, no
-    lateness).  The horizon bounds are derived columns, which Spark's
-    state-cleanup analyzer does not recognize as a watermark constraint —
-    join state is therefore retained for the run (fine for bounded
-    replays; for an unbounded deployment add a raw-column constraint like
-    ``d.ts BETWEEN q.qts - 8*60s AND q.qts`` alongside, which bounds state
-    and is implied by the window-aligned predicate).
+    lateness).  The window-aligned horizon bounds are derived columns
+    (invisible to Spark's state-cleanup analyzer), so the join ALSO carries
+    the implied raw-column bound ``q.qts - h*w <= d.ts <= q.qts + w`` —
+    that one IS recognized, so join state on both sides is watermark-evicted
+    on unbounded deployments too (test_stream_stream_state_bounded asserts
+    ``numRowsTotal`` stops growing across a long replay).
 
     Emits (query_id, doc_id, qts) match rows in append mode; dedupe
     downstream when doc ids repeat (source-dependent, exactly like the

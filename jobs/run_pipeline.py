@@ -27,12 +27,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def main(argv: list[str] | None = None, stop: bool = True) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="/tmp/dsi_out")
     ap.add_argument("--partitions", type=int, default=16)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -117,12 +117,33 @@ def main() -> None:
         "tiles", lambda: assign_tiles(centers), lineage_key="tile_id"
     )
 
+    # kNN over the span centers, with the ring search's health counters
+    # promoted to the metrics table: a production run that drifted into the
+    # brute-force fallback (or was one round from raising) is visible in
+    # the artifact, not just in driver logs.
+    from distributed_spatial_index_spark.operators.knn import knn
+
+    def _knn_step():
+        qk = (
+            qs.select("query_id",
+                      ((F.col("xmin") + F.col("xmax")) / 2).alias("x"),
+                      ((F.col("ymin") + F.col("ymax")) / 2).alias("y"))
+        )
+        out = knn(centers.dropDuplicates(["id"]), qk, k=5)
+        for m, v in out.knn_stats.items():
+            ck.record_metric("knn", m, float(v))
+        return out
+
+    nn = ck.step("knn", _knn_step, lineage_key="query_id")
+
     print("range_join rows:", joined.count())
     print("per-query latency rows:", latency.count())
     print("tile rows:", tiles.count())
+    print("knn rows:", nn.count())
     print("metrics:")
-    ck.metrics().orderBy("seq").show(50, truncate=False)
-    spark.stop()
+    ck.metrics().orderBy("seq").show(60, truncate=False)
+    if stop:
+        spark.stop()
 
 
 if __name__ == "__main__":

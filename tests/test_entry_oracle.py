@@ -46,6 +46,16 @@ def test_query_matches_oracle(spark, ddb, name):
     )
 
 
+def test_driver_row_cap():
+    """The driver records at most 50 CORRECTNESS rows (r3: 53 queries ->
+    exactly the first 50 dict entries appeared in the artifact).  Keep the
+    gate surface at <= 50 so every query is gate-visible; consolidate (as
+    customer_order_flag / approx_sketch_contracts did) before adding."""
+    qkeys = list(entrymod.queries().keys())
+    assert len(qkeys) <= 50, f"{len(qkeys)} queries > 50-row driver cap"
+    assert set(entrymod.oracle_sql().keys()) <= set(qkeys)
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0

@@ -54,6 +54,28 @@ def test_projection_plausible_frame(spark, tmp_path):
         assert 0 <= r["x"] <= 8626 and 0 <= r["y"] <= 8872, (r["x"], r["y"])
 
 
+def test_trackpoint_gate_stays_in_codegen(spark):
+    """The whole gate path (synthetic line build -> parse -> Mercator ->
+    aggregate) must COMPILE — with codegen fallback disabled, a plan that
+    exceeds Janino's 64 KB method limit fails instead of silently running
+    interpreted.  Pins the localCheckpoint stage split + the single-shape
+    parser rewrite."""
+    from distributed_spatial_index_spark.sources.latlon import (
+        parse_trackpoints_gate,
+    )
+
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    try:
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        # sf0.01, the driver gate's sf: at sf0.001 every derived lon falls
+        # west of the projection origin (x < 0) and ALL rows drop — 0 rows
+        # would not witness that the compiled plan actually produced output
+        n = parse_trackpoints_gate(spark, "/root/testdata/sf0.01").count()
+        assert n > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
 def test_segments_from_csv(spark, tmp_path):
     pts = load_trackpoints_csv(spark, _write_csv(tmp_path)).withColumn(
         "seq", F.col("ts")

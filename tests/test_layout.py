@@ -39,3 +39,65 @@ def test_layout_pruned_join(spark):
         assert pf and "pcell" in pf.group(1) and "IN" in pf.group(1).upper()
         # and the scanned row count shrinks accordingly
         assert pruned.count() < layout.count()
+
+
+def test_manifest_file_pruning(spark):
+    """Iceberg-shaped metadata pruning stand-in: the per-file manifest
+    (fcell min/max ranges) must (a) keep results identical to the unpruned
+    join and (b) actually SKIP files on a selective query set."""
+    from distributed_spatial_index_spark.sources.layout import (
+        manifest_pruned_point_range_join,
+        manifest_select_files,
+        write_manifest,
+    )
+
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    qs = src.range_queries(spark, SF_DIR, "lineitem").limit(3)
+    with tempfile.TemporaryDirectory() as d:
+        write_cell_layout(pts, f"{d}/docs")
+        write_manifest(spark, f"{d}/docs")
+
+        got_df = manifest_pruned_point_range_join(spark, f"{d}/docs", qs)
+        got = sorted(map(tuple, got_df.collect()))
+        expect = sorted(map(tuple, point_range_join(pts, qs).collect()))
+        assert got == expect and len(got) > 0
+
+        # file-level skip evidence: a selective query set reads a strict
+        # subset of the layout's files
+        files, total = manifest_select_files(spark, f"{d}/docs", qs)
+        stats = got_df.manifest_stats
+        assert stats == {"files_scanned": len(files), "files_total": total}
+        assert 0 < len(files) < total, (len(files), total)
+
+
+def test_distributed_coarse_cells_match_numpy_oracle(spark):
+    """pruned_point_range_join derives the prune set distributed (explode
+    covering cells at coarse_bits -> distinct); it must equal the
+    driver-side NumPy derivation exactly on the same queries."""
+    from distributed_spatial_index_spark.config import (
+        COARSE_BITS,
+        DEFAULT_REGION,
+        EPSILON,
+    )
+    from distributed_spatial_index_spark.functions.cells import (
+        covering_cells_col,
+    )
+    from distributed_spatial_index_spark.sources.layout import (
+        query_coarse_cells,
+    )
+
+    qs = src.range_queries(spark, SF_DIR, "lineitem")
+    got = sorted(
+        r["pcell"]
+        for r in qs.select(
+            F.explode(
+                covering_cells_col(
+                    F.col("xmin") - F.lit(EPSILON), F.col("ymin") - F.lit(EPSILON),
+                    F.col("xmax") + F.lit(EPSILON), F.col("ymax") + F.lit(EPSILON),
+                    bits=COARSE_BITS, region=DEFAULT_REGION,
+                )
+            ).alias("pcell")
+        ).distinct().collect()
+    )
+    expect = query_coarse_cells(qs.collect(), COARSE_BITS, DEFAULT_REGION, EPSILON)
+    assert got == expect and 0 < len(got) <= 4 ** COARSE_BITS

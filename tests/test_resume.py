@@ -60,6 +60,24 @@ def test_uncommitted_step_is_recomputed(spark):
         assert calls2 == ["points"]
 
 
+def test_pipeline_records_knn_stats_metrics(spark):
+    """jobs/run_pipeline.py promotes knn's per-call health counters into
+    the checkpointed metrics table: a fallback/straggler drift is then
+    visible in the production artifact, not only in driver logs."""
+    import jobs.run_pipeline as pipeline
+
+    with tempfile.TemporaryDirectory() as root:
+        pipeline.main(
+            ["--data", "/root/testdata/sf0.001", "--out", root], stop=False
+        )
+        ck = Checkpointer(spark, root)
+        m = {(r["step"], r["metric"]): r["value"] for r in ck.metrics().collect()}
+        assert ("knn", "rounds_run") in m and m[("knn", "rounds_run")] >= 1
+        assert m[("knn", "stragglers")] == 0.0
+        assert m[("knn", "fallback_used")] == 0.0
+        assert m[("knn", "n_rows")] > 0  # the step itself committed
+
+
 def test_metrics_and_lineage_tables(spark):
     with tempfile.TemporaryDirectory() as root:
         ck = Checkpointer(spark, root)

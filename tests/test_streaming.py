@@ -258,6 +258,46 @@ def test_stream_stream_join_matches_batch_and_oracle(spark, ddb):
     assert got == oracle
 
 
+def test_stream_stream_state_bounded(spark):
+    """The redundant raw-column bound (ts within [qts - h*w, qts + w]) must
+    be RECOGNIZED by Spark's stream-stream state cleanup: across a long
+    replay, join state rows are evicted as the watermark advances
+    (numRowsRemoved > 0) and total state stops growing — without the raw
+    bound the derived window-aligned predicate leaves numRowsRemoved == 0
+    and numRowsTotal monotonically increasing for the whole run."""
+    from distributed_spatial_index_spark.streaming.replay import (
+        replay_two_streams,
+    )
+    from distributed_spatial_index_spark.streaming.stream_join import (
+        streaming_stream_stream_range_join,
+    )
+
+    pts = src.geo_points(spark, SF_DIR, "lineitem").withColumn(
+        "ts", F.timestamp_millis(F.col("ts"))
+    )
+    qs = src.range_queries(spark, SF_DIR, "lineitem").withColumn(
+        "qts", F.timestamp_millis(F.col("qts"))
+    )
+    progress: list = []
+    replay_two_streams(
+        spark, pts, qs,
+        lambda d, q: streaming_stream_stream_range_join(d, q),
+        n_chunks=8, progress_out=progress,
+    )
+    joins = [
+        op for p in progress for op in p["stateOperators"]
+        if "symmetricHashJoin" in op.get("operatorName", "")
+    ]
+    assert joins, f"no join state operator in progress: {progress[:1]}"
+    removed = sum(op["numRowsRemoved"] for op in joins)
+    totals = [op["numRowsTotal"] for op in joins]
+    assert removed > 0, "state cleanup never evicted a row (raw bound lost?)"
+    # state peaked before the end: the final retained set is strictly
+    # smaller than the high-water mark (watermark-driven eviction), not a
+    # monotone accumulation of every input row
+    assert totals[-1] < max(totals), totals
+
+
 def test_zero_lateness_drops_late_rows(spark):
     """The reference's max-1/no-allowedLateness policy
     (InputItemTimeAndWater.java:15-24): a row older than the advanced
@@ -321,14 +361,83 @@ def test_zero_lateness_drops_late_rows(spark):
     assert got == {(ts(0), 2), (ts(90), 1), (ts(91), 1)}
 
 
+def test_sessionize_idle_ttl_evicts_state(spark):
+    """idle_ttl_minutes: a user idle past the TTL has their sentinel state
+    row EVICTED (state bounded by active users, not all-time users); a user
+    returning WITHIN the TTL keeps their ordinal; one returning BEYOND it
+    restarts at session_id 1 (the documented trade)."""
+    import datetime
+    import glob as _glob
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from distributed_spatial_index_spark.streaming.sessions import (
+        streaming_sessionize,
+    )
+
+    d0 = datetime.datetime(2016, 11, 1)
+
+    def ts(minutes):
+        return d0 + datetime.timedelta(minutes=minutes)
+
+    # gap=30min, ttl=60min.  u9 is the watermark ticker; u1 returns within
+    # its TTL (50 < 0+60); u3 returns after its TTL fired (120 > 60).
+    chunks = [
+        [(1, 10, ts(0)), (3, 11, ts(0)), (9, 12, ts(0))],
+        [(9, 13, ts(40))],
+        [(9, 14, ts(45))],   # wm=40: u1/u3 session 1 closes, TTL armed @60
+        [(1, 15, ts(50))],   # wm=45: u1 back within TTL -> session_id 2
+        [(9, 16, ts(70))],
+        [(9, 17, ts(80))],   # wm=70 > 60: u3's idle TTL fires -> row evicted
+        [(3, 18, ts(120))],  # state gone -> u3 restarts at session_id 1
+        [(-1, -2, ts(300))],
+        [(-1, -3, ts(310))],
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        base = _time.time()
+        for i, rows in enumerate(chunks):
+            spark.createDataFrame(
+                rows, "user_id long, event_id long, ts timestamp"
+            ).coalesce(1).write.parquet(f"{d}/chunk{i}")
+            for f in _glob.glob(f"{d}/chunk{i}/*"):
+                _os.utime(f, (base + 10 * i, base + 10 * i))
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp"
+        ).option("maxFilesPerTrigger", 1).parquet(f"{d}/chunk*/")
+        q = _run_stream(
+            streaming_sessionize(stream, gap_minutes=30, idle_ttl_minutes=60),
+            "sttl",
+        )
+        progress = list(q.recentProgress)
+        rows = spark.sql(
+            "SELECT user_id, session_id FROM sttl ORDER BY user_id, start_ts"
+        ).collect()
+    ids = {}
+    for r in rows:
+        ids.setdefault(r["user_id"], []).append(r["session_id"])
+    assert ids[1] == [1, 2], ids      # within-TTL return keeps ordinals
+    assert ids[3] == [1, 1], ids      # beyond-TTL return restarts at 1
+    ops = [op for p in progress for op in p["stateOperators"]]
+    removed = sum(op["numRowsRemoved"] for op in ops)
+    totals = [op["numRowsTotal"] for op in ops]
+    assert removed >= 3, (removed, totals)   # u3 (early) + u1 + u9 evicted
+    # long-idle rows are gone: final state = the still-open flush user +
+    # u3's freshly-closed sentinel, NOT one row per all-time user
+    assert totals[-1] <= 2, totals
+
+
 def test_streaming_sessionize_matches_batch(spark):
     """Gap sessions in-stream (applyInPandasWithState, EventTimeTimeout:
     the state timeout IS the session-gap timer) must reproduce the batch
-    lag+cumsum sessionize exactly — ids, counts, and bounds."""
-    import datetime
-    import tempfile
+    lag+cumsum sessionize exactly — ids, counts, and bounds.
 
+    Uses the generic replay harness: the schema-derived flush row (long ->
+    -1, timestamp -> flush ts) pushes the watermark past every open
+    session's 30-minute gap (flush_windows=40 one-minute windows) so the
+    event-time timeouts fire before stream end."""
     from distributed_spatial_index_spark.operators.windows import sessionize
+    from distributed_spatial_index_spark.streaming.replay import replay_stream
     from distributed_spatial_index_spark.streaming.sessions import (
         streaming_sessionize,
     )
@@ -336,30 +445,13 @@ def test_streaming_sessionize_matches_batch(spark):
     ev = src.load(spark, SF_DIR, "events").select(
         "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
     )
-    with tempfile.TemporaryDirectory() as d:
-        pdf = ev.orderBy("ts", "event_id").toPandas()
-        third = len(pdf) // 3
-        for i in range(3):
-            chunk = pdf.iloc[i * third: None if i == 2 else (i + 1) * third]
-            spark.createDataFrame(chunk, schema=ev.schema).coalesce(1).write.mode(
-                "overwrite").parquet(f"{d}/chunk{i}")
-        # two flush batches (dummy user) push the watermark past every open
-        # session's gap so the event-time timeouts fire before stream end
-        max_ts = pdf["ts"].max().to_pydatetime()
-        for j in range(2):
-            flush = spark.createDataFrame(
-                [(-1, -1, max_ts + datetime.timedelta(minutes=40 + j))],
-                "user_id long, event_id long, ts timestamp",
-            )
-            flush.coalesce(1).write.mode("overwrite").parquet(f"{d}/chunk{3 + j}")
-        stream = spark.readStream.schema(ev.schema).option(
-            "maxFilesPerTrigger", 1
-        ).parquet(f"{d}/chunk*/")
-        _run_stream(streaming_sessionize(stream, gap_minutes=30), "ssess")
-        got = sorted(
-            tuple(r) for r in spark.sql(
-                "SELECT * FROM ssess WHERE user_id >= 0").collect()
-        )
+    out = replay_stream(
+        spark, ev, lambda s: streaming_sessionize(s, gap_minutes=30),
+        sort_cols=("ts", "event_id"), flush_windows=40,
+    )
+    got = sorted(
+        tuple(r) for r in out.filter(F.col("user_id") >= 0).collect()
+    )
     expect = sorted(
         map(tuple, sessionize(
             src.load(spark, SF_DIR, "events"), gap_minutes=30
