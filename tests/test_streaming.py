@@ -298,6 +298,45 @@ def test_stream_stream_state_bounded(spark):
     assert totals[-1] < max(totals), totals
 
 
+def test_streaming_parity_on_rocksdb_state_store(spark):
+    """The deployment-scale state store must be drop-in: the default
+    HDFS-backed provider keeps ALL state in executor memory (a ceiling a
+    100-TB horizon join would hit), RocksDB spills to local disk.  Run the
+    horizon join replay under the RocksDB provider and require exact
+    batch==stream parity — no extra jars, stock Spark 4."""
+    from distributed_spatial_index_spark.operators.compare import result_diff
+    from distributed_spatial_index_spark.operators.range_join import (
+        horizon_range_join,
+    )
+    from distributed_spatial_index_spark.streaming.replay import replay_stream
+    from distributed_spatial_index_spark.streaming.stream_join import (
+        streaming_horizon_range_join,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        pts = src.geo_points(spark, SF_DIR, "lineitem").withColumn(
+            "ts", F.timestamp_millis(F.col("ts"))
+        )
+        qs = src.range_queries(spark, SF_DIR, "lineitem")
+        out = replay_stream(
+            spark, pts, lambda s: streaming_horizon_range_join(s, qs)
+        )
+        assert out.count() > 0
+        assert result_diff(horizon_range_join(pts, qs), out).count() == 0
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def test_zero_lateness_drops_late_rows(spark):
     """The reference's max-1/no-allowedLateness policy
     (InputItemTimeAndWater.java:15-24): a row older than the advanced
