@@ -549,10 +549,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # NOTE: the driver records at most 50 CORRECTNESS rows (r3 had 53
         # queries -> exactly the first 50 in dict order landed in the
-        # artifact).  Keep this dict at <= 50 entries; tests/test_contract.py
-        # pins the cap.  tile_counts' gate row was folded into tile_pyramid
-        # (its zoom-4 level is the identical aggregation; the operator keeps
-        # its pytest), customers_with/without_orders into customer_order_flag,
+        # artifact).  Keep this dict at <= 50 entries;
+        # tests/test_entry_oracle.py::test_driver_row_cap pins the cap.
+        # tile_counts' gate row was folded into tile_pyramid (its zoom-4
+        # level is the identical aggregation; the operator keeps its pytest,
+        # tests/test_tiles.py), customers_with/without_orders into customer_order_flag,
         # approx_distinct_parts + approx_quantiles into approx_sketch_contracts.
         "range_join": _q_range_join,
         "query_gen": _q_query_gen,

@@ -98,6 +98,28 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/_manifest")
 
 
+def distributed_covering_cells(
+    queries: DataFrame,
+    bits: int,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+) -> DataFrame:
+    """DISTINCT cell ids (column ``c``) covered by any query rect at
+    ``bits``, derived DISTRIBUTED (explode per query, distinct) — the ONE
+    derivation behind pruned_point_range_join, manifest_select_files, and
+    the NumPy-oracle test, so the prune predicate cannot drift per call
+    site.  Row count is bounded by 4^bits regardless of |queries|."""
+    return queries.select(
+        F.explode(
+            covering_cells_col(
+                F.col("xmin") - F.lit(eps), F.col("ymin") - F.lit(eps),
+                F.col("xmax") + F.lit(eps), F.col("ymax") + F.lit(eps),
+                bits=bits, region=region,
+            )
+        ).alias("c")
+    ).distinct()
+
+
 def manifest_select_files(
     spark: SparkSession,
     path: str,
@@ -108,30 +130,27 @@ def manifest_select_files(
 ) -> tuple[list[str], int]:
     """(files to scan, total files in the manifest): a file survives iff
     some query's fine covering cell lands inside its [fcell_min, fcell_max]
-    Morton range.  The wanted-cell set is derived distributed (explode per
-    query, distinct); the interval join broadcasts the manifest (per-file
+    Morton range.  The interval join broadcasts the manifest (per-file
     rows — metadata-scale by construction) and only distinct FILE PATHS are
     collected, bounded by the file count regardless of |queries|."""
-    wanted = queries.select(
-        F.explode(
-            covering_cells_col(
-                F.col("xmin") - F.lit(eps), F.col("ymin") - F.lit(eps),
-                F.col("xmax") + F.lit(eps), F.col("ymax") + F.lit(eps),
-                bits=fine_bits, region=region,
+    wanted = distributed_covering_cells(queries, fine_bits, region, eps)
+    # one scan of the manifest serves both the join and the total count
+    man = read_manifest(spark, path).persist()
+    try:
+        n_total = man.count()
+        hits = (
+            wanted.join(
+                F.broadcast(man),
+                (F.col("c") >= F.col("fcell_min"))
+                & (F.col("c") <= F.col("fcell_max")),
             )
-        ).alias("c")
-    ).distinct()
-    man = read_manifest(spark, path)
-    hits = (
-        wanted.join(
-            F.broadcast(man),
-            (F.col("c") >= F.col("fcell_min")) & (F.col("c") <= F.col("fcell_max")),
+            .select("file_path")
+            .distinct()
+            .collect()
         )
-        .select("file_path")
-        .distinct()
-        .collect()
-    )
-    return sorted(r["file_path"] for r in hits), man.count()
+    finally:
+        man.unpersist()
+    return sorted(r["file_path"] for r in hits), n_total
 
 
 def manifest_pruned_point_range_join(
@@ -155,7 +174,9 @@ def manifest_pruned_point_range_join(
         spark, path, queries, fine_bits, region, eps
     )
     if not files:
-        return spark.createDataFrame([], "query_id long, doc_id long")
+        empty = spark.createDataFrame([], "query_id long, doc_id long")
+        empty.manifest_stats = {"files_scanned": 0, "files_total": n_total}
+        return empty
     # basePath keeps the hive pcell partition column when addressing leaves
     pruned = spark.read.option("basePath", path).parquet(*files)
     out = point_range_join(
@@ -200,23 +221,17 @@ def pruned_point_range_join(
     queries' coarse cells first (directory-level skip), then the normal
     fine-cell route + refine.
 
-    The coarse-cell set is derived DISTRIBUTED (explode each query's
-    covering cells at coarse_bits, distinct) and only the distinct cell ids
-    reach the driver — bounded by 4^coarse_bits rows regardless of |queries|,
-    so a 10M-query batch never materializes on the driver.  The collected
-    ids must then be a LITERAL isin: directory-level partition pruning
-    happens at planning time, which a join cannot express."""
+    The coarse-cell set is derived DISTRIBUTED (distributed_covering_cells
+    at coarse_bits) and only the distinct cell ids reach the driver —
+    bounded by 4^coarse_bits rows regardless of |queries|, so a 10M-query
+    batch never materializes on the driver.  The collected ids must then
+    be a LITERAL isin: directory-level partition pruning happens at
+    planning time, which a join cannot express."""
     cells = sorted(
-        r["pcell"]
-        for r in queries.select(
-            F.explode(
-                covering_cells_col(
-                    F.col("xmin") - F.lit(eps), F.col("ymin") - F.lit(eps),
-                    F.col("xmax") + F.lit(eps), F.col("ymax") + F.lit(eps),
-                    bits=coarse_bits, region=region,
-                )
-            ).alias("pcell")
-        ).distinct().collect()
+        r["c"]
+        for r in distributed_covering_cells(
+            queries, coarse_bits, region, eps
+        ).collect()
     )
     pruned = layout.filter(F.col("pcell").isin(cells))
     return point_range_join(

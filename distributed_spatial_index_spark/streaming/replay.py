@@ -37,16 +37,25 @@ def _default_flush_row(schema, flush_ts):
     the row can never match a query cell); everything else NULL.  Callers
     with a different contract pass ``flush_row_factory`` explicitly."""
     row = {}
+    stamped = False
     for f in schema.fields:
         t = f.dataType.typeName()
-        if t == "timestamp":
+        if t in ("timestamp", "timestamp_ntz"):
             row[f.name] = flush_ts.to_pydatetime()
+            stamped = True
         elif t in ("long", "integer", "short", "byte"):
             row[f.name] = -1
         elif t == "double" or t == "float":
             row[f.name] = -1e6
         else:
             row[f.name] = None
+    if not stamped:
+        # a NULL event-time row would never advance the watermark — the
+        # replay would hang to TimeoutError with no hint why; fail now
+        raise ValueError(
+            f"flush row needs a timestamp column to advance the watermark; "
+            f"schema has none: {schema.simpleString()}"
+        )
     return row
 
 

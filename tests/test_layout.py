@@ -71,33 +71,26 @@ def test_manifest_file_pruning(spark):
 
 
 def test_distributed_coarse_cells_match_numpy_oracle(spark):
-    """pruned_point_range_join derives the prune set distributed (explode
-    covering cells at coarse_bits -> distinct); it must equal the
-    driver-side NumPy derivation exactly on the same queries."""
+    """The PRODUCTION distributed derivation (distributed_covering_cells —
+    the one helper behind pruned_point_range_join and
+    manifest_select_files) must equal the driver-side NumPy derivation
+    exactly on the same queries."""
     from distributed_spatial_index_spark.config import (
         COARSE_BITS,
         DEFAULT_REGION,
         EPSILON,
     )
-    from distributed_spatial_index_spark.functions.cells import (
-        covering_cells_col,
-    )
     from distributed_spatial_index_spark.sources.layout import (
+        distributed_covering_cells,
         query_coarse_cells,
     )
 
     qs = src.range_queries(spark, SF_DIR, "lineitem")
     got = sorted(
-        r["pcell"]
-        for r in qs.select(
-            F.explode(
-                covering_cells_col(
-                    F.col("xmin") - F.lit(EPSILON), F.col("ymin") - F.lit(EPSILON),
-                    F.col("xmax") + F.lit(EPSILON), F.col("ymax") + F.lit(EPSILON),
-                    bits=COARSE_BITS, region=DEFAULT_REGION,
-                )
-            ).alias("pcell")
-        ).distinct().collect()
+        r["c"]
+        for r in distributed_covering_cells(
+            qs, COARSE_BITS, DEFAULT_REGION, EPSILON
+        ).collect()
     )
     expect = query_coarse_cells(qs.collect(), COARSE_BITS, DEFAULT_REGION, EPSILON)
     assert got == expect and 0 < len(got) <= 4 ** COARSE_BITS
