@@ -33,6 +33,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # Streaming state at deployment scale: the default HDFS-backed store
+    # keeps all state in executor memory; RocksDB spills to local disk and
+    # is proven value-exact on our operators
+    # (tests/test_streaming.py::test_streaming_parity_on_rocksdb_state_store).
+    # Opt in per process: SPARK_GRAFT_STATE_STORE=rocksdb.
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

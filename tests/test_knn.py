@@ -99,14 +99,22 @@ def test_knn_fallback_bounded_and_loud(spark):
     qs = src.knn_queries(spark, SF_DIR, "lineitem")
     n_q = qs.dropDuplicates(["query_id"]).count()
 
-    with _pytest.raises(RuntimeError, match="fallback_cap"):
+    with _pytest.raises(RuntimeError, match="fallback_cap") as ei:
         knn(pts, qs, k=3, r0=1e-9, max_rounds=1, fallback_cap=n_q // 2)
     assert knn_mod.last_stats["stragglers"] == n_q
     assert not knn_mod.last_stats["fallback_used"]
+    # per-call channel on the raise path: stats ride the exception
+    assert ei.value.knn_stats["stragglers"] == n_q
 
     got = knn(pts, qs, k=3, r0=1e-9, max_rounds=1, fallback_cap=n_q)
     assert knn_mod.last_stats["fallback_used"]
     assert knn_mod.last_stats["stragglers"] == n_q
+    # per-call channel on the success path: stats ride the DataFrame and
+    # are NOT clobbered by a later call (the global is rebound, the
+    # attached snapshot stays)
+    assert got.knn_stats["fallback_used"] and got.knn_stats["stragglers"] == n_q
     expect = knn(pts, qs, k=3)
     assert not knn_mod.last_stats["fallback_used"]
+    assert got.knn_stats["fallback_used"]  # snapshot survived the new call
+    assert expect.knn_stats == knn_mod.last_stats
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
