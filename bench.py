@@ -223,15 +223,16 @@ def main() -> None:
     # streaming surface timed, not just parity-gated: end-to-end replay of
     # the windowed range join (file-source micro-batches with 0-second
     # watermark -> stateful tumbling-window count agg -> memory sink), the
-    # reference's QueryResultPF stage shape.  A DETERMINISTIC 1/10 doc
-    # slice (xxhash64 mod) keeps the row's cost bounded: the measured time
-    # is dominated by per-micro-batch fixed costs (planning, broadcast
-    # rebuild, state commit), which is exactly the streaming-path overhead
-    # this row exists to watch — the full-sf replay measured 105 s and the
-    # 8-window horizon variant blew past a 600 s bench budget without
-    # adding signal (BENCH/BASELINE.md).  Includes the replay harness's
-    # chunk staging; single run — the replay is internally multi-batch,
-    # which already averages host noise more than one batch query does.
+    # reference's QueryResultPF stage shape, on DETERMINISTIC 1/10 slices
+    # (xxhash64 mod) of both sides.  Reported under its OWN "streaming"
+    # key, NOT inside "queries"/"value": the replay's wall time is
+    # dominated by per-micro-batch scheduling fixed costs, which this
+    # shared host swings 2-5x between samples (observed 27-146 s for the
+    # same workload, BENCH/BASELINE.md) — folding that noise into the
+    # round-over-round headline total would drown the batch signal.  The
+    # row still moves on real streaming regressions (state growth,
+    # watermark stalls, planning bloat); judge it against its own
+    # documented band.
     from distributed_spatial_index_spark.streaming.replay import replay_stream
     from distributed_spatial_index_spark.streaming.stream_join import (
         streaming_point_range_join,
@@ -240,13 +241,17 @@ def main() -> None:
     sliced = pts.filter(
         F.pmod(F.xxhash64(F.col("id")), F.lit(10)) == 0
     ).withColumn("ts", F.timestamp_millis(F.col("ts")))
+    sliced_qs = qs.filter(
+        F.pmod(F.xxhash64(F.col("query_id")), F.lit(10)) == 0
+    ).persist()
+    sliced_qs.count()
     n_stream_docs = sliced.count()
     t0 = time.perf_counter()
     replay_stream(
-        spark, sliced, lambda s: streaming_point_range_join(s, qs),
+        spark, sliced, lambda s: streaming_point_range_join(s, sliced_qs),
         n_chunks=4,
     )
-    timings["streaming_windowed_replay"] = round(time.perf_counter() - t0, 4)
+    stream_sec = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
     core = timings["range_join"] + timings["tile_assignment"]
@@ -260,9 +265,11 @@ def main() -> None:
                 "sf": sf,
                 "n_docs": n_docs,
                 "docs_per_sec": round(n_docs / core, 1) if core > 0 else None,
-                "stream_docs_per_sec": round(
-                    n_stream_docs / timings["streaming_windowed_replay"], 1
-                ),
+                "streaming": {
+                    "windowed_replay_sec": stream_sec,
+                    "stream_docs": n_stream_docs,
+                    "stream_docs_per_sec": round(n_stream_docs / stream_sec, 1),
+                },
                 "cpus": cpus,
             }
         )
