@@ -1,0 +1,155 @@
+"""Bucketed storage: the shuffle-free co-located spatial join.
+
+The engine has three physical regimes for the cell equi-join:
+
+- query side small  -> broadcast join, doc side never shuffles
+  (operators/range_join.py);
+- query side large, ad-hoc doc table -> both sides hash-shuffle on
+  (cell, salt) with hot-cell salting (plans/partitioning.py) — pays a
+  full shuffle of the doc side on EVERY query batch;
+- query side large, doc table LANDED bucketed by cell (this module) ->
+  SortMergeJoin with ZERO Exchange on the bucketed side(s): Spark reads
+  each bucket as one partition, and EnsureRequirements recognizes the
+  bucket spec as the join's required hash partitioning.
+
+At the 100-TB design point the third regime is the one that matters:
+re-shuffling 100 TB per query batch is the dominant cost of the salted
+plan, while bucketing pays the shuffle ONCE at ingest and amortizes it
+over every subsequent batch (and over joins with OTHER tables bucketed on
+the same cell key).  This is the parquet/session-catalog stand-in for an
+Iceberg ``bucket(n, cell)`` partition transform — on a deployment the same
+write is ``writeTo(t).partitionedBy(bucket(n, cell))`` and the bucket spec
+lives in the real catalog; here ``saveAsTable`` records it in the session
+catalog, which is exactly the metadata Spark's scan consults
+(ref parity: the reference keeps its data co-located by keeping the
+RC-trees resident per worker and migrating on map changes,
+LocalTreePF.java:108-151; a storage engine gets the same co-location from
+the table layout instead of resident state).
+
+Bucket-count choice at scale: buckets are read one-per-partition (no AQE
+coalesce/split inside a bucketed scan), so pick
+``n_buckets ~ total_bytes / target_partition_bytes`` at ingest time —
+e.g. ~100k buckets for 100 TB at 1 GiB — and keep it a multiple of the
+executor count so the scan packs evenly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_spatial_index_spark.config import (
+    DEFAULT_REGION,
+    EPSILON,
+    JOIN_BITS,
+    Region,
+)
+from distributed_spatial_index_spark.functions.cells import cell_id_col
+from distributed_spatial_index_spark.functions.geometry import rect_contains_point
+from distributed_spatial_index_spark.operators.range_join import explode_query_cells
+
+
+def write_bucketed_points(
+    points: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 32,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+) -> None:
+    """points(id, x, y, ...) -> parquet table bucketed AND sorted by the
+    routing cell (sortBy keeps each bucket file cell-clustered, so the SMJ
+    sort is cheap and row-group stats stay selective).  ``path`` makes it
+    an external table: data lives there, the bucket spec in the catalog."""
+    spark = points.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        points.withColumn(
+            "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
+        )
+        # repartition on the bucket column first: repartition's
+        # hashpartitioning is the same Murmur3 pmod n_buckets as the bucket
+        # spec, so each write task holds exactly one bucket's rows and the
+        # table lands as n_buckets files instead of tasks x buckets tiny
+        # ones (measured: 2049 -> 32 files at 64 input partitions).  This
+        # IS the ingest-time shuffle the layout amortizes.
+        .repartition(n_buckets, F.col("cell"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .saveAsTable(table)
+    )
+
+
+def write_bucketed_query_cells(
+    queries: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 32,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+    eps: float = EPSILON,
+) -> None:
+    """queries(query_id, xmin..ymax) -> exploded (cell, query, rect) rows
+    bucketed by cell with the SAME bucket count as the doc table, so the
+    join needs no Exchange on either side.  This is the landed form of a
+    large standing query set (the regime where broadcast is impossible)."""
+    spark = queries.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        explode_query_cells(queries, bits, region, eps)
+        .repartition(n_buckets, F.col("cell"))  # one file per bucket
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_point_range_join(
+    spark: SparkSession,
+    points_table: str,
+    queries_table: str,
+    eps: float = EPSILON,
+) -> DataFrame:
+    """Range join over two tables pre-bucketed on the routing cell: same
+    semantics as point_range_join (epsilon-rect refine + result-set dedup),
+    but the only Exchange in the plan is the one that shuffles the (small)
+    RESULT for dropDuplicates — the doc and query scans feed the join
+    co-located.  tests/test_bucketing.py asserts both the plan shape
+    (exactly one Exchange, bucketed scans) and result equality with the
+    broadcast join."""
+    pts = spark.table(points_table)
+    q = spark.table(queries_table)
+    joined = pts.join(q, "cell").filter(
+        rect_contains_point(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            F.col("x"), F.col("y"), eps,
+        )
+    )
+    return (
+        joined.select("query_id", F.col("id").alias("doc_id"))
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+
+
+def physical_plan_str(df: DataFrame) -> str:
+    """The physical plan as a string (pre-execution; with AQE this is the
+    initial plan, which is where Exchange placement is decided — AQE can
+    coalesce or replan an Exchange but never removes a bucketed scan's
+    exemption)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of Exchange (shuffle/broadcast) operators in the plan — the
+    quantity bucketing exists to minimize."""
+    return sum(
+        1
+        for line in physical_plan_str(df).splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )

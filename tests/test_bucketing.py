@@ -1,0 +1,83 @@
+"""Bucketed co-located join: identical results + the shuffle actually gone.
+
+The claim under test is physical, not just semantic: with both tables
+bucketed on the routing cell, the ONLY Exchange left in the plan is the
+one shuffling the (small) result set for dropDuplicates — the doc-side
+shuffle the salted plan pays per query batch is eliminated by the layout.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from distributed_spatial_index_spark.operators.range_join import point_range_join
+from distributed_spatial_index_spark.plans.bucketing import (
+    bucketed_point_range_join,
+    count_exchanges,
+    physical_plan_str,
+    write_bucketed_points,
+    write_bucketed_query_cells,
+)
+from distributed_spatial_index_spark.sources import tables as src
+from tests.conftest import SF_DIR
+
+
+def _no_broadcast(spark):
+    """Force the shuffled-regime planner (the regime bucketing serves):
+    in production the query side is too big to broadcast; at sf0.001 it
+    isn't, so disable auto-broadcast while planning these joins."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    return old
+
+
+def test_bucketed_join_matches_and_drops_the_shuffle(spark):
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    qs = src.range_queries(spark, SF_DIR, "lineitem")
+    old = _no_broadcast(spark)
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            write_bucketed_points(pts, "t_bkt_pts", f"{d}/pts", n_buckets=4)
+            write_bucketed_query_cells(qs, "t_bkt_qc", f"{d}/qc", n_buckets=4)
+
+            out = bucketed_point_range_join(spark, "t_bkt_pts", "t_bkt_qc")
+
+            # plan shape: both scans bucketed, exactly ONE Exchange (the
+            # result dedup) — vs >= 3 for the same join on unbucketed
+            # inputs (both join sides + dedup)
+            plan = physical_plan_str(out)
+            assert plan.count("Bucketed: true") == 2, plan
+            assert count_exchanges(out) == 1, plan
+            unbucketed = point_range_join(pts, qs, broadcast_queries=False)
+            assert count_exchanges(unbucketed) >= 3
+
+            got = sorted(map(tuple, out.collect()))
+            expect = sorted(map(tuple, point_range_join(pts, qs).collect()))
+            assert got == expect and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_pts")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_qc")
+
+
+def test_bucketed_scan_prunes_buckets_on_cell_filter(spark):
+    """Bucket pruning: an equality filter on the bucket column reads only
+    the matching bucket (SelectedBucketsCount in the scan) — the
+    bucket-level analog of the layout module's directory/manifest skips."""
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    # autoBucketedScan off: the planner DISABLES bucketed reads for plans
+    # with no join/agg to serve ("Bucketed: false (disabled by query
+    # planner)"), which also skips bucket pruning for a bare filter
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                   "false")
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            write_bucketed_points(pts, "t_bkt_prune", f"{d}/pts", n_buckets=4)
+            t = spark.table("t_bkt_prune")
+            some_cell = t.select("cell").first()["cell"]
+            plan = physical_plan_str(t.filter(t.cell == some_cell))
+            assert "SelectedBucketsCount: 1 out of 4" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                       "true")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_prune")
