@@ -218,6 +218,9 @@ def main() -> None:
     )
     old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # warm once like the other headline rows: the first run pays file
+    # listing + codegen for this plan shape, which best-of-2 only half hides
+    _materialize(bucketed_point_range_join(spark, "bench_bkt_pts", "bench_bkt_qc"))
     timed("bucketed_range_join", lambda: bucketed_point_range_join(
         spark, "bench_bkt_pts", "bench_bkt_qc"))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
