@@ -12,6 +12,13 @@ The engine has three physical regimes for the cell equi-join:
   each bucket as one partition, and EnsureRequirements recognizes the
   bucket spec as the join's required hash partitioning.
 
+Skew note: bucketing moves the skew decision to INGEST — a hot cell hashes
+to one bucket, buckets map 1:1 to scan partitions, and AQE's skew splitter
+cannot break up a bucketed scan.  When a hot-cell list is known, write
+with ``hot=``: the salt joins the bucket spec ((cell, salt)), reusing the
+salting from plans/partitioning.py, and the hot cell's probe work lands in
+n_salt co-located partitions with the join still Exchange-free.
+
 At the 100-TB design point the third regime is the one that matters:
 re-shuffling 100 TB per query batch is the dominant cost of the salted
 plan, while bucketing pays the shuffle ONCE at ingest and amortizes it
@@ -56,29 +63,51 @@ def write_bucketed_points(
     n_buckets: int = 32,
     bits: int = JOIN_BITS,
     region: Region = DEFAULT_REGION,
+    hot: list[int] | None = None,
+    n_salt: int = 8,
 ) -> None:
     """points(id, x, y, ...) -> parquet table bucketed AND sorted by the
     routing cell (sortBy keeps each bucket file cell-clustered, so the SMJ
     sort is cheap and row-group stats stay selective).  ``path`` makes it
-    an external table: data lives there, the bucket spec in the catalog."""
+    an external table: data lives there, the bucket spec in the catalog.
+
+    ``hot``: skew handling must be decided AT INGEST for a bucketed
+    layout — a hot cell hashes to ONE bucket, buckets map 1:1 to scan
+    partitions, and AQE cannot split a bucketed scan; so when a hot-cell
+    list is known (hot_cells_from_density over a density grid at the SAME
+    ``bits`` as this write — ids from another resolution match nothing and
+    the salt silently stays 0), the salt becomes part of the
+    bucket spec: docs bucket on (cell, salt) and the query side duplicates
+    hot rows into all n_salt sub-keys (write_bucketed_query_cells with the
+    same hot list).  Results are unchanged; the hot cell's probe work
+    lands in n_salt co-located partitions instead of one."""
     spark = points.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    (
-        points.withColumn(
-            "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
+    df = points.withColumn(
+        "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
+    )
+    bucket_cols = ["cell"]
+    if hot is not None:
+        from distributed_spatial_index_spark.plans.partitioning import (
+            hot_cell_lookup,
+            salt_doc_side,
         )
-        # repartition on the bucket column first: repartition's
+
+        df = salt_doc_side(df, hot_cell_lookup(spark, hot), n_salt)
+        bucket_cols = ["cell", "salt"]
+    (
+        # repartition on the bucket columns first: repartition's
         # hashpartitioning is the same Murmur3 pmod n_buckets as the bucket
         # spec, so each write task holds exactly one bucket's rows and the
         # table lands as n_buckets files instead of tasks x buckets tiny
         # ones (measured: 2049 -> 32 files at 64 input partitions).  This
         # IS the ingest-time shuffle the layout amortizes.
-        .repartition(n_buckets, F.col("cell"))
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
         .write.mode("overwrite")
         .format("parquet")
         .option("path", path)
-        .bucketBy(n_buckets, "cell")
-        .sortBy("cell")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
         .saveAsTable(table)
     )
 
@@ -91,21 +120,34 @@ def write_bucketed_query_cells(
     bits: int = JOIN_BITS,
     region: Region = DEFAULT_REGION,
     eps: float = EPSILON,
+    hot: list[int] | None = None,
+    n_salt: int = 8,
 ) -> None:
     """queries(query_id, xmin..ymax) -> exploded (cell, query, rect) rows
     bucketed by cell with the SAME bucket count as the doc table, so the
     join needs no Exchange on either side.  This is the landed form of a
-    large standing query set (the regime where broadcast is impossible)."""
+    large standing query set (the regime where broadcast is impossible).
+    Pass the SAME ``hot``/``n_salt`` as the doc table's write to land the
+    salted spec (hot rows duplicated into every salt sub-key)."""
     spark = queries.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    df = explode_query_cells(queries, bits, region, eps)
+    bucket_cols = ["cell"]
+    if hot is not None:
+        from distributed_spatial_index_spark.plans.partitioning import (
+            hot_cell_lookup,
+            salt_query_side,
+        )
+
+        df = salt_query_side(df, hot_cell_lookup(spark, hot), n_salt)
+        bucket_cols = ["cell", "salt"]
     (
-        explode_query_cells(queries, bits, region, eps)
-        .repartition(n_buckets, F.col("cell"))  # one file per bucket
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
         .write.mode("overwrite")
         .format("parquet")
         .option("path", path)
-        .bucketBy(n_buckets, "cell")
-        .sortBy("cell")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
         .saveAsTable(table)
     )
 
@@ -120,12 +162,16 @@ def bucketed_point_range_join(
     semantics as point_range_join (epsilon-rect refine + result-set dedup),
     but the only Exchange in the plan is the one that shuffles the (small)
     RESULT for dropDuplicates — the doc and query scans feed the join
-    co-located.  tests/test_bucketing.py asserts both the plan shape
-    (exactly one Exchange, bucketed scans) and result equality with the
-    broadcast join."""
+    co-located.  If both tables carry the salted bucket spec (written with
+    ``hot``), the join key is (cell, salt) and hot-cell probe work is
+    spread across n_salt co-located partitions.  tests/test_bucketing.py
+    asserts both the plan shape (exactly one Exchange, bucketed scans) and
+    result equality with the broadcast join."""
     pts = spark.table(points_table)
     q = spark.table(queries_table)
-    joined = pts.join(q, "cell").filter(
+    key = ["cell", "salt"] if "salt" in pts.columns and "salt" in q.columns \
+        else ["cell"]
+    joined = pts.join(q, key).filter(
         rect_contains_point(
             F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
             F.col("x"), F.col("y"), eps,

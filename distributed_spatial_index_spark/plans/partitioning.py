@@ -72,6 +72,42 @@ def hot_cells_from_density(
     ]
 
 
+def hot_cell_lookup(spark, hot: list[int]) -> DataFrame:
+    """The broadcast-joinable hot-cell membership table (cell, is_hot) —
+    see salted_point_range_join's docstring for why a lookup table beats
+    an in-expression array literal."""
+    return spark.createDataFrame(
+        [(int(h),) for h in hot], "cell long"
+    ).withColumn("is_hot", F.lit(True))
+
+
+def salt_doc_side(df: DataFrame, hot_df: DataFrame, n_salt: int) -> DataFrame:
+    """Add the doc-side salt to a frame that already has a ``cell`` column:
+    hot cells hash into one of n_salt sub-keys, cold cells take salt 0."""
+    return df.join(F.broadcast(hot_df), "cell", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("is_hot"), F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt))
+        ).otherwise(F.lit(0).cast("long")),
+    ).drop("is_hot")
+
+
+def salt_query_side(qcells: DataFrame, hot_df: DataFrame, n_salt: int) -> DataFrame:
+    """Duplicate hot-cell query rows into every salt bucket (cold rows keep
+    salt 0) so the (cell, salt) equi-join sees every doc sub-bucket."""
+    return qcells.join(F.broadcast(hot_df), "cell", "left").withColumn(
+        "salt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.when(F.col("is_hot"), F.lit(n_salt - 1))
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
+        ),
+    ).drop("is_hot")
+
+
 def salted_point_range_join(
     points: DataFrame,
     queries: DataFrame,
@@ -99,29 +135,12 @@ def salted_point_range_join(
 
     bits = bits or JOIN_BITS
     spark = points.sparkSession
-    hot_df = spark.createDataFrame(
-        [(int(h),) for h in hot], "cell long"
-    ).withColumn("is_hot", F.lit(True))
+    hot_df = hot_cell_lookup(spark, hot)
 
     pts = points.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
-    pts = pts.join(F.broadcast(hot_df), "cell", "left").withColumn(
-        "salt",
-        F.when(
-            F.col("is_hot"), F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt))
-        ).otherwise(F.lit(0).cast("long")),
-    ).drop("is_hot")
-    q = explode_query_cells(queries, bits, region, eps)
-    q = q.join(F.broadcast(hot_df), "cell", "left").withColumn(
-        "salt",
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                F.when(F.col("is_hot"), F.lit(n_salt - 1))
-                .otherwise(F.lit(0))
-                .cast("long"),
-            )
-        ),
-    ).drop("is_hot")
+    pts = salt_doc_side(pts, hot_df, n_salt)
+    q = salt_query_side(explode_query_cells(queries, bits, region, eps),
+                        hot_df, n_salt)
     joined = pts.join(q, ["cell", "salt"]).filter(
         rect_contains_point(
             F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),

@@ -81,3 +81,63 @@ def test_bucketed_scan_prunes_buckets_on_cell_filter(spark):
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
                        "true")
         spark.sql("DROP TABLE IF EXISTS t_bkt_prune")
+
+
+def test_salted_bucketed_join_spreads_hot_cells_and_matches(spark):
+    """Skew handling at ingest: with a hot-cell list, the salt becomes part
+    of the bucket spec — the join stays Exchange-free on (cell, salt) and a
+    hot cell's docs genuinely land under several salt sub-keys."""
+    from pyspark.sql import functions as F
+
+    from distributed_spatial_index_spark.operators.density import density_grid
+    from distributed_spatial_index_spark.plans.partitioning import (
+        hot_cells_from_density,
+    )
+
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    qs = src.range_queries(spark, SF_DIR, "lineitem")
+    from distributed_spatial_index_spark.config import JOIN_BITS
+
+    # hot cells must be derived at the SAME resolution the layout buckets
+    # at (JOIN_BITS) — density_grid's default FINE_BITS ids would match
+    # nothing in the bucketed table.  The threshold keys off the actual
+    # max density so the fixture holds at any sf.
+    dens = density_grid(pts, bits=JOIN_BITS)
+    max_n = dens.agg(F.max("n")).first()[0]
+    assert max_n >= 2, "fixture needs a cell with multiple docs"
+    hot = hot_cells_from_density(dens, threshold=max_n - 1)
+    assert hot, "fixture must yield at least one hot cell"
+    old = _no_broadcast(spark)
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            write_bucketed_points(
+                pts, "t_sbkt_pts", f"{d}/pts", n_buckets=4, hot=hot, n_salt=4
+            )
+            write_bucketed_query_cells(
+                qs, "t_sbkt_qc", f"{d}/qc", n_buckets=4, hot=hot, n_salt=4
+            )
+            out = bucketed_point_range_join(spark, "t_sbkt_pts", "t_sbkt_qc")
+
+            plan = physical_plan_str(out)
+            assert plan.count("Bucketed: true") == 2, plan
+            assert count_exchanges(out) == 1, plan
+
+            # hot cells' docs really fan out across salt sub-keys (xxhash
+            # is deterministic, so check the best fan-out across all hot
+            # cells rather than betting on one cell's hash draw)
+            n_salts = (
+                spark.table("t_sbkt_pts")
+                .filter(F.col("cell").isin([int(h) for h in hot]))
+                .groupBy("cell")
+                .agg(F.countDistinct("salt").alias("ns"))
+                .agg(F.max("ns")).first()[0]
+            )
+            assert n_salts > 1, n_salts
+
+            got = sorted(map(tuple, out.collect()))
+            expect = sorted(map(tuple, point_range_join(pts, qs).collect()))
+            assert got == expect and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_sbkt_pts")
+        spark.sql("DROP TABLE IF EXISTS t_sbkt_qc")
