@@ -212,21 +212,30 @@ def main() -> None:
     )
 
     bkt_dir = tempfile.mkdtemp(prefix="dsi_bkt_")
-    write_bucketed_points(pts, "bench_bkt_pts", f"{bkt_dir}/pts", n_buckets=cpus)
-    write_bucketed_query_cells(
-        qs, "bench_bkt_qc", f"{bkt_dir}/qc", n_buckets=cpus
-    )
     old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    # warm once like the other headline rows: the first run pays file
-    # listing + codegen for this plan shape, which best-of-2 only half hides
-    _materialize(bucketed_point_range_join(spark, "bench_bkt_pts", "bench_bkt_qc"))
-    timed("bucketed_range_join", lambda: bucketed_point_range_join(
-        spark, "bench_bkt_pts", "bench_bkt_qc"))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
-    spark.sql("DROP TABLE IF EXISTS bench_bkt_pts")
-    spark.sql("DROP TABLE IF EXISTS bench_bkt_qc")
-    shutil.rmtree(bkt_dir, ignore_errors=True)
+    try:
+        write_bucketed_points(
+            pts, "bench_bkt_pts", f"{bkt_dir}/pts", n_buckets=cpus
+        )
+        write_bucketed_query_cells(
+            qs, "bench_bkt_qc", f"{bkt_dir}/qc", n_buckets=cpus
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # warm once like the other headline rows: the first run pays file
+        # listing + codegen for the plan shape, which best-of-2 only half
+        # hides
+        _materialize(
+            bucketed_point_range_join(spark, "bench_bkt_pts", "bench_bkt_qc")
+        )
+        timed("bucketed_range_join", lambda: bucketed_point_range_join(
+            spark, "bench_bkt_pts", "bench_bkt_qc"))
+    finally:
+        # restore + clean even on failure: a leaked -1 threshold would
+        # silently change every remaining row's plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.sql("DROP TABLE IF EXISTS bench_bkt_pts")
+        spark.sql("DROP TABLE IF EXISTS bench_bkt_qc")
+        shutil.rmtree(bkt_dir, ignore_errors=True)
 
     # secondary coverage queries
     timed("density_grid", lambda: density_grid(pts))

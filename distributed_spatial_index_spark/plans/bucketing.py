@@ -82,7 +82,6 @@ def write_bucketed_points(
     same hot list).  Results are unchanged; the hot cell's probe work
     lands in n_salt co-located partitions instead of one."""
     spark = points.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
     df = points.withColumn(
         "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
     )
@@ -95,21 +94,9 @@ def write_bucketed_points(
 
         df = salt_doc_side(df, hot_cell_lookup(spark, hot), n_salt)
         bucket_cols = ["cell", "salt"]
-    (
-        # repartition on the bucket columns first: repartition's
-        # hashpartitioning is the same Murmur3 pmod n_buckets as the bucket
-        # spec, so each write task holds exactly one bucket's rows and the
-        # table lands as n_buckets files instead of tasks x buckets tiny
-        # ones (measured: 2049 -> 32 files at 64 input partitions).  This
-        # IS the ingest-time shuffle the layout amortizes.
-        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
-        .write.mode("overwrite")
-        .format("parquet")
-        .option("path", path)
-        .bucketBy(n_buckets, *bucket_cols)
-        .sortBy(*bucket_cols)
-        .saveAsTable(table)
-    )
+    _write_bucketed(df, table, path, n_buckets, bucket_cols)
+    _set_spec(spark, table, bits=bits, n_buckets=n_buckets,
+              hot=hot, n_salt=n_salt, eps=None)
 
 
 def write_bucketed_query_cells(
@@ -130,7 +117,6 @@ def write_bucketed_query_cells(
     Pass the SAME ``hot``/``n_salt`` as the doc table's write to land the
     salted spec (hot rows duplicated into every salt sub-key)."""
     spark = queries.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
     df = explode_query_cells(queries, bits, region, eps)
     bucket_cols = ["cell"]
     if hot is not None:
@@ -141,6 +127,23 @@ def write_bucketed_query_cells(
 
         df = salt_query_side(df, hot_cell_lookup(spark, hot), n_salt)
         bucket_cols = ["cell", "salt"]
+    _write_bucketed(df, table, path, n_buckets, bucket_cols)
+    _set_spec(spark, table, bits=bits, n_buckets=n_buckets,
+              hot=hot, n_salt=n_salt, eps=eps)
+
+
+def _write_bucketed(
+    df: DataFrame, table: str, path: str, n_buckets: int,
+    bucket_cols: list[str],
+) -> None:
+    """The one write pipeline both table kinds share.  The repartition on
+    the bucket columns first matters: repartition's hashpartitioning is the
+    same Murmur3 pmod n_buckets as the bucket spec, so each write task
+    holds exactly one bucket's rows and the table lands as n_buckets files
+    instead of tasks x buckets tiny ones (measured: 2049 -> 32 files at 64
+    input partitions).  This IS the ingest-time shuffle the layout
+    amortizes."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     (
         df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
         .write.mode("overwrite")
@@ -150,6 +153,50 @@ def write_bucketed_query_cells(
         .sortBy(*bucket_cols)
         .saveAsTable(table)
     )
+
+
+def _hot_fingerprint(hot: list[int] | None) -> str:
+    if hot is None:
+        return "unsalted"
+    import hashlib
+
+    return hashlib.sha256(
+        ",".join(str(int(h)) for h in sorted(hot)).encode()
+    ).hexdigest()[:16]
+
+
+# The logically-atomic layout spec (bits / buckets / salting / padding) is
+# split across two independent write calls; every mismatch between them is
+# a SILENT wrong answer (missed pairs) or a silently reinstated shuffle.
+# So each write records its spec as table properties and the join refuses
+# mismatched tables loudly.
+_SPEC_KEYS = ("dsi.bits", "dsi.n_buckets", "dsi.salted", "dsi.n_salt",
+              "dsi.hot_fp")
+
+
+def _set_spec(spark, table, *, bits, n_buckets, hot, n_salt, eps) -> None:
+    props = {
+        "dsi.bits": str(bits),
+        "dsi.n_buckets": str(n_buckets),
+        "dsi.salted": "1" if hot is not None else "0",
+        "dsi.n_salt": str(n_salt if hot is not None else 1),
+        "dsi.hot_fp": _hot_fingerprint(hot),
+    }
+    if eps is not None:
+        props["dsi.eps"] = repr(float(eps))
+    kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
+def _get_spec(spark, table: str) -> dict[str, str]:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    spec = {r["key"]: r["value"] for r in rows if r["key"].startswith("dsi.")}
+    if not all(k in spec for k in _SPEC_KEYS):
+        raise ValueError(
+            f"table {table} carries no bucket-layout spec; write it with "
+            "write_bucketed_points / write_bucketed_query_cells"
+        )
+    return spec
 
 
 def bucketed_point_range_join(
@@ -166,11 +213,33 @@ def bucketed_point_range_join(
     ``hot``), the join key is (cell, salt) and hot-cell probe work is
     spread across n_salt co-located partitions.  tests/test_bucketing.py
     asserts both the plan shape (exactly one Exchange, bucketed scans) and
-    result equality with the broadcast join."""
+    result equality with the broadcast join.
+
+    The two tables' recorded specs must agree (same bits / bucket count /
+    salting / hot list) and the refine ``eps`` must not exceed the padding
+    the query cells were exploded with — every such mismatch would be a
+    silent wrong answer or a silently reinstated shuffle, so this raises
+    instead."""
+    ps = _get_spec(spark, points_table)
+    qp = _get_spec(spark, queries_table)
+    diff = [k for k in _SPEC_KEYS if ps[k] != qp[k]]
+    if diff:
+        raise ValueError(
+            f"bucket-layout spec mismatch between {points_table} and "
+            f"{queries_table}: "
+            + ", ".join(f"{k}: {ps[k]} != {qp[k]}" for k in diff)
+            + " — rewrite one side with matching write_bucketed_* params"
+        )
+    if float(eps) > float(qp["dsi.eps"]):
+        raise ValueError(
+            f"join eps={eps} exceeds the eps={qp['dsi.eps']} the query "
+            f"cells of {queries_table} were padded with; matches near cell "
+            "borders would be silently missed — rewrite the query table "
+            "with the larger eps"
+        )
     pts = spark.table(points_table)
     q = spark.table(queries_table)
-    key = ["cell", "salt"] if "salt" in pts.columns and "salt" in q.columns \
-        else ["cell"]
+    key = ["cell", "salt"] if ps["dsi.salted"] == "1" else ["cell"]
     joined = pts.join(q, key).filter(
         rect_contains_point(
             F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
@@ -192,10 +261,16 @@ def physical_plan_str(df: DataFrame) -> str:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of Exchange (shuffle/broadcast) operators in the plan — the
-    quantity bucketing exists to minimize."""
+    """Number of SHUFFLE Exchange operators in the plan — the quantity
+    bucketing exists to minimize.  BroadcastExchange is deliberately NOT
+    counted (a broadcast build is not the per-row shuffle this module
+    optimizes away; pin auto-broadcast off if asserting the shuffled
+    regime), and ReusedExchange references are skipped so a reused shuffle
+    is counted once."""
     return sum(
         1
         for line in physical_plan_str(df).splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
     )

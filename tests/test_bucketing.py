@@ -68,8 +68,9 @@ def test_bucketed_scan_prunes_buckets_on_cell_filter(spark):
     # autoBucketedScan off: the planner DISABLES bucketed reads for plans
     # with no join/agg to serve ("Bucketed: false (disabled by query
     # planner)"), which also skips bucket pruning for a bare filter
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-                   "false")
+    abs_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old_abs = spark.conf.get(abs_key)
+    spark.conf.set(abs_key, "false")
     try:
         with tempfile.TemporaryDirectory() as d:
             write_bucketed_points(pts, "t_bkt_prune", f"{d}/pts", n_buckets=4)
@@ -78,8 +79,7 @@ def test_bucketed_scan_prunes_buckets_on_cell_filter(spark):
             plan = physical_plan_str(t.filter(t.cell == some_cell))
             assert "SelectedBucketsCount: 1 out of 4" in plan, plan
     finally:
-        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-                       "true")
+        spark.conf.set(abs_key, old_abs)
         spark.sql("DROP TABLE IF EXISTS t_bkt_prune")
 
 
@@ -100,12 +100,13 @@ def test_salted_bucketed_join_spreads_hot_cells_and_matches(spark):
 
     # hot cells must be derived at the SAME resolution the layout buckets
     # at (JOIN_BITS) — density_grid's default FINE_BITS ids would match
-    # nothing in the bucketed table.  The threshold keys off the actual
-    # max density so the fixture holds at any sf.
+    # nothing in the bucketed table.  Every multi-doc cell counts as hot
+    # (threshold=1): the fan-out assertion below takes the max across ALL
+    # hot cells, so the fixture doesn't hinge on one cell's xxhash draws.
     dens = density_grid(pts, bits=JOIN_BITS)
     max_n = dens.agg(F.max("n")).first()[0]
     assert max_n >= 2, "fixture needs a cell with multiple docs"
-    hot = hot_cells_from_density(dens, threshold=max_n - 1)
+    hot = hot_cells_from_density(dens, threshold=1)
     assert hot, "fixture must yield at least one hot cell"
     old = _no_broadcast(spark)
     try:
@@ -141,3 +142,38 @@ def test_salted_bucketed_join_spreads_hot_cells_and_matches(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_sbkt_pts")
         spark.sql("DROP TABLE IF EXISTS t_sbkt_qc")
+
+
+def test_bucketed_join_refuses_mismatched_specs(spark):
+    """Every spec mismatch between the two writes (bucket count, salting,
+    refine eps beyond the written padding) is a silent wrong answer or a
+    silently reinstated shuffle — the join must raise instead."""
+    import pytest
+
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    qs = src.range_queries(spark, SF_DIR, "lineitem")
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            write_bucketed_points(pts, "t_mm_pts", f"{d}/pts", n_buckets=4)
+            write_bucketed_query_cells(qs, "t_mm_qc8", f"{d}/qc8", n_buckets=8)
+            with pytest.raises(ValueError, match="spec mismatch"):
+                bucketed_point_range_join(spark, "t_mm_pts", "t_mm_qc8")
+
+            write_bucketed_query_cells(
+                qs, "t_mm_qc_salted", f"{d}/qcs", n_buckets=4, hot=[0], n_salt=4
+            )
+            with pytest.raises(ValueError, match="dsi.salted"):
+                bucketed_point_range_join(spark, "t_mm_pts", "t_mm_qc_salted")
+
+            write_bucketed_query_cells(qs, "t_mm_qc", f"{d}/qc", n_buckets=4)
+            with pytest.raises(ValueError, match="eps"):
+                bucketed_point_range_join(
+                    spark, "t_mm_pts", "t_mm_qc", eps=1.0
+                )
+            # matching specs still work
+            assert bucketed_point_range_join(
+                spark, "t_mm_pts", "t_mm_qc"
+            ).count() > 0
+    finally:
+        for t in ("t_mm_pts", "t_mm_qc8", "t_mm_qc_salted", "t_mm_qc"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
