@@ -280,6 +280,14 @@ def unrolled_raycast_pip_join(
     )
 
 
+# "auto" unrolls a mixed-arity polygon table into per-arity codegen joins
+# as long as the table holds at most this many distinct vertex counts and
+# none exceeds MAX_UNROLL_ARITY (past that the XOR-folded predicate chain
+# itself strains Janino and the general path's Arrow refine wins).
+MAX_UNROLL_GROUPS = 4
+MAX_UNROLL_ARITY = 12
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -290,25 +298,42 @@ def pip_join(
     """points(id, x, y) ⋈ polygons(query_id, vertices array<struct<x,y>>)
     → (query_id, doc_id) for points strictly inside each polygon.
 
-    ``unroll_arity="auto"`` detects a fixed vertex count on the (tiny)
-    polygon table and routes to unrolled_raycast_pip_join — the full
-    even-odd test in whole-stage codegen, no Arrow.  Pass ``None`` to
-    force the general path, or an int to skip the detection query.
+    ``unroll_arity="auto"`` inspects the vertex counts on the (tiny)
+    polygon table: a single arity routes to unrolled_raycast_pip_join —
+    the full even-odd test in whole-stage codegen, no Arrow — and a
+    MIXED-arity table with at most MAX_UNROLL_GROUPS distinct counts (each
+    <= MAX_UNROLL_ARITY) routes each arity GROUP through its own unrolled
+    join and unions the results (queries partition by arity, so no cross-
+    group dedup is needed).  Pass ``None`` to force the general path, or
+    an int to skip the detection query.
 
-    General path (mixed-arity rings): broadcast (query, covering-cell)
-    equi-join, with cells classified interior/boundary DISTRIBUTED (bbox
-    explode in codegen + Arrow-batched classification; see
-    _classified_query_cells_df).  Points in interior cells are emitted
+    General path (arity too varied/large to unroll): broadcast (query,
+    covering-cell) equi-join, with cells classified interior/boundary
+    DISTRIBUTED (bbox explode in codegen + Arrow-batched classification;
+    see _classified_query_cells_df).  Points in interior cells are emitted
     directly inside whole-stage codegen; only boundary-cell candidates
     cross Arrow into the NumPy ray-cast refine.
     """
     if unroll_arity == "auto":
-        sizes = [
+        sizes = sorted(
             r["n"]
             for r in polygons.select(
                 F.size("vertices").alias("n")
             ).distinct().collect()
-        ]
+        )
+        if (
+            1 < len(sizes) <= MAX_UNROLL_GROUPS
+            and sizes[-1] <= MAX_UNROLL_ARITY
+        ):
+            out = None
+            for a in sizes:
+                part = unrolled_raycast_pip_join(
+                    points,
+                    polygons.filter(F.size("vertices") == a),
+                    int(a), bits, region,
+                )
+                out = part if out is None else out.unionByName(part)
+            return out
         unroll_arity = sizes[0] if len(sizes) == 1 else None
     if unroll_arity:
         return unrolled_raycast_pip_join(

@@ -166,3 +166,41 @@ def test_unrolled_raycast_axis_aligned_rectangles(spark):
     fast = sorted(map(tuple, pip_join(pts, polys).collect()))  # unrolled, arity 4
     slow = sorted(map(tuple, pip_join(pts, polys, unroll_arity=None).collect()))
     assert fast == slow and len(fast) > 0
+
+
+def test_mixed_arity_auto_groups_match_general(spark):
+    """A mixed-arity polygon table with few distinct vertex counts routes
+    per-arity through the unrolled codegen join ("auto" grouping); results
+    must equal the general Arrow-refine path exactly, including a concave
+    group."""
+    from pyspark.sql import functions as F
+
+    from distributed_spatial_index_spark.operators.pip_join import pip_join
+
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    kq = src.knn_queries(spark, SF_DIR, "lineitem")
+
+    def polys_of(shape, rows):
+        verts = F.array(*[
+            F.struct((F.col("x") + F.lit(dx)).alias("x"),
+                     (F.col("y") + F.lit(dy)).alias("y"))
+            for dx, dy in shape
+        ])
+        return rows.select("query_id", verts.alias("vertices"))
+
+    tri = [(0.0, -25.0), (30.0, 20.0), (-28.0, 15.0)]
+    concave_quad = [(0.0, -30.0), (25.0, 20.0), (0.0, 5.0), (-25.0, 20.0)]
+    # split queries between the two shapes -> one table, arities {3, 4}
+    a = polys_of(tri, kq.filter(F.col("query_id") % 2 == 0))
+    b = polys_of(concave_quad, kq.filter(F.col("query_id") % 2 == 1))
+    polys = a.unionByName(b)
+
+    fast = pip_join(pts, polys)  # auto -> per-arity unrolled group union
+    slow = pip_join(pts, polys, unroll_arity=None)
+    got = sorted(map(tuple, fast.collect()))
+    expect = sorted(map(tuple, slow.collect()))
+    assert got == expect and len(got) > 0
+    # both arity groups actually contribute
+    arities = {len(r) for r in [tri, concave_quad]}
+    assert arities == {3, 4}
+    assert fast.select("query_id").distinct().count() > 1
