@@ -136,6 +136,26 @@ def main(argv: list[str] | None = None, stop: bool = True) -> None:
 
     nn = ck.step("knn", _knn_step, lineage_key="query_id")
 
+    # Land the serving layout: the centers table bucketed on the routing
+    # cell (plans/bucketing.py).  The in-pipeline join above broadcasts its
+    # (small) query batch — the right plan at that size; this landed table
+    # is what recurring LARGE query batches join against downstream with
+    # zero doc-side shuffle (the ingest repartition here IS that shuffle,
+    # paid once).  The overwrite is idempotent, so resume just re-lands it.
+    from distributed_spatial_index_spark.plans.bucketing import (
+        write_bucketed_points,
+    )
+
+    write_bucketed_points(
+        centers, "dsi_bucketed_centers", f"{args.out}/bucketed_centers",
+        n_buckets=args.partitions,
+    )
+    n_bucket_rows = spark.table("dsi_bucketed_centers").count()
+    ck.record_metric("bucketed_centers", "n_rows", float(n_bucket_rows))
+    ck.record_metric(
+        "bucketed_centers", "n_buckets", float(args.partitions)
+    )
+
     print("range_join rows:", joined.count())
     print("per-query latency rows:", latency.count())
     print("tile rows:", tiles.count())

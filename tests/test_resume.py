@@ -102,3 +102,33 @@ def test_metrics_and_lineage_tables(spark):
         _pipeline(spark, ck2, [])
         m2 = ck2.metrics().filter(F.col("metric") == "resumed").count()
         assert m2 == 3
+
+def test_pipeline_lands_bucketed_centers(spark):
+    """The pipeline lands the serving layout (centers bucketed on the
+    routing cell) and records its row/bucket counts in the metrics table;
+    the landed table must carry the full centers row count and the
+    recorded bucket spec."""
+    import jobs.run_pipeline as pipeline
+
+    with tempfile.TemporaryDirectory() as root:
+        try:
+            pipeline.main(
+                ["--data", "/root/testdata/sf0.001", "--out", root,
+                 "--partitions", "4"],
+                stop=False,
+            )
+            ck = Checkpointer(spark, root)
+            m = {(r["step"], r["metric"]): r["value"]
+                 for r in ck.metrics().collect()}
+            n = m[("bucketed_centers", "n_rows")]
+            assert n > 0 and m[("bucketed_centers", "n_buckets")] == 4.0
+            assert spark.table("dsi_bucketed_centers").count() == n
+            props = {
+                r["key"]: r["value"]
+                for r in spark.sql(
+                    "SHOW TBLPROPERTIES dsi_bucketed_centers"
+                ).collect()
+            }
+            assert props["dsi.n_buckets"] == "4"
+        finally:
+            spark.sql("DROP TABLE IF EXISTS dsi_bucketed_centers")
