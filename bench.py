@@ -97,7 +97,7 @@ def scaling_mode() -> None:
     print(json.dumps(payload))
     # committed artifact (round-2 verdict ask #10): the scaling evidence
     # lives as JSON next to the headline BENCH file, not only in prose
-    out_path = os.environ.get("SPARK_GRAFT_SCALING_OUT", "BENCH_scaling_r3.json")
+    out_path = os.environ.get("SPARK_GRAFT_SCALING_OUT", "BENCH_scaling_r4.json")
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
 
