@@ -70,3 +70,49 @@ def test_tiles_taxi_bj_region(spark):
         zoom=3, region=BJ,
     ).collect()[0]
     assert one["tile_id"] == 0
+
+def test_bucketed_join_taxi_bj_region(spark):
+    """The landed bucketed join must honor a non-default Region end to end
+    (cells computed at write time, NumPy oracle as the independent check)."""
+    import tempfile
+
+    from distributed_spatial_index_spark.plans.bucketing import (
+        bucketed_point_range_join,
+        write_bucketed_points,
+        write_bucketed_query_cells,
+    )
+
+    pts, arr = _pts(spark, n=3000, seed=3)
+    rng = np.random.default_rng(4)
+    q = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+        zip(rng.uniform(0, BJ.x_hi, 25), rng.uniform(0, BJ.y_hi, 25)))]
+    r = 60_000.0
+    qs = spark.createDataFrame(
+        [(i, x - r, y - r, x + r, y + r) for i, x, y in q],
+        "query_id long, xmin double, ymin double, xmax double, ymax double",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            write_bucketed_points(
+                pts, "t_bj_pts", f"{d}/pts", n_buckets=4, region=BJ
+            )
+            write_bucketed_query_cells(
+                qs, "t_bj_qc", f"{d}/qc", n_buckets=4, region=BJ
+            )
+            got = {tuple(t) for t in bucketed_point_range_join(
+                spark, "t_bj_pts", "t_bj_qc"
+            ).collect()}
+        expect = set()
+        for i, x, y in q:
+            hit = np.flatnonzero(
+                (np.abs(arr[:, 0] - x) <= r + 1e-5)
+                & (np.abs(arr[:, 1] - y) <= r + 1e-5)
+            )
+            expect.update((i, int(h)) for h in hit)
+        assert got == expect and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bj_pts")
+        spark.sql("DROP TABLE IF EXISTS t_bj_qc")
