@@ -224,3 +224,29 @@ def test_near_dup_components_chain(spark):
     got = {r["doc_id"]: r["component_id"]
            for r in dd.near_dup_components(docs, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6}
+
+
+def test_near_dup_components_raises_on_nonconvergence(spark):
+    """Exhausting max_iters must RAISE (partial labels are wrong answers),
+    matching knn's loud-fallback discipline; the same input converges fine
+    with the default budget."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from distributed_spatial_index_spark.operators.dedup import (
+        near_dup_components,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "a long, b long"
+    )
+    # max_iters=1: the round certainly changes labels and no zero-change
+    # certification round can follow -> loud failure, never partial output
+    with pytest.raises(RuntimeError, match="max_iters=1"):
+        near_dup_components(docs, chain, max_iters=1)
+
+    ok = near_dup_components(docs, chain)
+    comps = {r["component_id"] for r in ok.collect()}
+    assert comps == {0}  # one chain, min-label 0
+    assert ok.count() == 6
