@@ -334,7 +334,15 @@ def pip_join(
                 )
                 out = part if out is None else out.unionByName(part)
             return out
-        unroll_arity = sizes[0] if len(sizes) == 1 else None
+        # single-arity tables obey the SAME arity cap as the mixed-arity
+        # group path: a 100-vertex polygon's XOR-folded predicate chain
+        # strains Janino just as much alone as in a group, so past
+        # MAX_UNROLL_ARITY it takes the general Arrow path too
+        unroll_arity = (
+            sizes[0]
+            if len(sizes) == 1 and sizes[0] <= MAX_UNROLL_ARITY
+            else None
+        )
     if unroll_arity:
         return unrolled_raycast_pip_join(
             points, polygons, int(unroll_arity), bits, region

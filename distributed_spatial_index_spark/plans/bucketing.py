@@ -96,7 +96,8 @@ def write_bucketed_points(
         bucket_cols = ["cell", "salt"]
     _write_bucketed(df, table, path, n_buckets, bucket_cols)
     _set_spec(spark, table, bits=bits, n_buckets=n_buckets,
-              hot=hot, n_salt=n_salt, eps=None)
+              hot=hot, n_salt=n_salt, eps=None, region=region,
+              kind="points")
 
 
 def write_bucketed_query_cells(
@@ -129,7 +130,8 @@ def write_bucketed_query_cells(
         bucket_cols = ["cell", "salt"]
     _write_bucketed(df, table, path, n_buckets, bucket_cols)
     _set_spec(spark, table, bits=bits, n_buckets=n_buckets,
-              hot=hot, n_salt=n_salt, eps=eps)
+              hot=hot, n_salt=n_salt, eps=eps, region=region,
+              kind="query_cells")
 
 
 def _write_bucketed(
@@ -165,22 +167,37 @@ def _hot_fingerprint(hot: list[int] | None) -> str:
     ).hexdigest()[:16]
 
 
-# The logically-atomic layout spec (bits / buckets / salting / padding) is
-# split across two independent write calls; every mismatch between them is
-# a SILENT wrong answer (missed pairs) or a silently reinstated shuffle.
-# So each write records its spec as table properties and the join refuses
-# mismatched tables loudly.
+# The logically-atomic layout spec (bits / buckets / salting / region /
+# padding) is split across two independent write calls; every mismatch
+# between them is a SILENT wrong answer (missed pairs) or a silently
+# reinstated shuffle.  So each write records its spec as table properties
+# and the join refuses mismatched tables loudly.  dsi.region matters as
+# much as dsi.bits: the SAME (x, y) lands in a different cell id under a
+# different region (TAXI-BJ vs DIDI-CD), so two region-mismatched tables
+# would equi-join on incomparable keys and silently return missing/wrong
+# matches.  dsi.kind ('points' / 'query_cells') is NOT in the equality set
+# — the two sides legitimately differ — but each side is validated below.
 _SPEC_KEYS = ("dsi.bits", "dsi.n_buckets", "dsi.salted", "dsi.n_salt",
-              "dsi.hot_fp")
+              "dsi.hot_fp", "dsi.region")
 
 
-def _set_spec(spark, table, *, bits, n_buckets, hot, n_salt, eps) -> None:
+def _region_fingerprint(region: Region) -> str:
+    # repr round-trips doubles exactly, so regions differing in any bound
+    # — by any ULP — fingerprint differently.
+    return (f"{region.x_lo!r},{region.y_lo!r},"
+            f"{region.x_hi!r},{region.y_hi!r}")
+
+
+def _set_spec(spark, table, *, bits, n_buckets, hot, n_salt, eps, region,
+              kind) -> None:
     props = {
         "dsi.bits": str(bits),
         "dsi.n_buckets": str(n_buckets),
         "dsi.salted": "1" if hot is not None else "0",
         "dsi.n_salt": str(n_salt if hot is not None else 1),
         "dsi.hot_fp": _hot_fingerprint(hot),
+        "dsi.region": _region_fingerprint(region),
+        "dsi.kind": kind,
     }
     if eps is not None:
         props["dsi.eps"] = repr(float(eps))
@@ -191,10 +208,11 @@ def _set_spec(spark, table, *, bits, n_buckets, hot, n_salt, eps) -> None:
 def _get_spec(spark, table: str) -> dict[str, str]:
     rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
     spec = {r["key"]: r["value"] for r in rows if r["key"].startswith("dsi.")}
-    if not all(k in spec for k in _SPEC_KEYS):
+    if not all(k in spec for k in _SPEC_KEYS + ("dsi.kind",)):
         raise ValueError(
-            f"table {table} carries no bucket-layout spec; write it with "
-            "write_bucketed_points / write_bucketed_query_cells"
+            f"table {table} carries no (complete) bucket-layout spec; write "
+            "it with write_bucketed_points / write_bucketed_query_cells "
+            f"(found: {sorted(spec)})"
         )
     return spec
 
@@ -222,6 +240,21 @@ def bucketed_point_range_join(
     instead."""
     ps = _get_spec(spark, points_table)
     qp = _get_spec(spark, queries_table)
+    # kind check FIRST: a swapped/wrongly-written argument would otherwise
+    # surface as a confusing eps/spec error (or a bare KeyError) instead of
+    # naming the actual mistake.
+    for tbl, spec, want in (
+        (points_table, ps, "points"),
+        (queries_table, qp, "query_cells"),
+    ):
+        if spec["dsi.kind"] != want:
+            raise ValueError(
+                f"{tbl} was written as dsi.kind={spec['dsi.kind']!r} but is "
+                f"passed as the {want!r} side of bucketed_point_range_join; "
+                "arguments are (points_table, queries_table) — write the "
+                "table with the matching write_bucketed_* function or swap "
+                "the arguments"
+            )
     diff = [k for k in _SPEC_KEYS if ps[k] != qp[k]]
     if diff:
         raise ValueError(

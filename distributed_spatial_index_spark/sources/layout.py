@@ -98,6 +98,37 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/_manifest")
 
 
+def _norm_file_path(p: str) -> str:
+    """Scheme-insensitive file identity: Hadoop listings say
+    ``file:/x/y``, ``_metadata.file_path`` says ``file:///x/y`` — strip
+    scheme and leading slashes so the two spellings compare equal."""
+    if ":" in p.split("/", 1)[0]:
+        p = p.split(":", 1)[1]
+    return p.lstrip("/")
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Recursive Hadoop FS listing of the layout's DATA files (pure
+    metadata op — no file is opened): every ``*.parquet`` whose path has no
+    underscore-prefixed segment (``_manifest``, ``_SUCCESS`` are metadata,
+    exactly the files a Spark scan would skip)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    base = _norm_file_path(fs.makeQualified(hpath).toString())
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        p = _norm_file_path(it.next().getPath().toString())
+        rel = p[len(base):].lstrip("/")
+        if not p.endswith(".parquet"):
+            continue
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        out.append(p)
+    return sorted(out)
+
+
 def distributed_covering_cells(
     queries: DataFrame,
     bits: int,
@@ -138,6 +169,23 @@ def manifest_select_files(
     man = read_manifest(spark, path).persist()
     try:
         n_total = man.count()
+        # Freshness check (pure listing, no file opened): a data file the
+        # manifest does not know about — e.g. appended after
+        # write_manifest — would be silently never selected and its matches
+        # silently dropped; raise loudly instead (full rewrites already
+        # fail loudly via stale selected paths).
+        known = {
+            _norm_file_path(r["file_path"])
+            for r in man.select("file_path").collect()
+        }
+        unknown = [f for f in list_data_files(spark, path) if f not in known]
+        if unknown:
+            raise ValueError(
+                f"manifest at {path}/_manifest is stale: "
+                f"{len(unknown)} data file(s) are not in the manifest "
+                f"(e.g. {unknown[0]}); re-run write_manifest after "
+                "appending to the layout"
+            )
         hits = (
             wanted.join(
                 F.broadcast(man),

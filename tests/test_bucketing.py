@@ -177,3 +177,39 @@ def test_bucketed_join_refuses_mismatched_specs(spark):
     finally:
         for t in ("t_mm_pts", "t_mm_qc8", "t_mm_qc_salted", "t_mm_qc"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_refuses_region_and_kind_mismatch(spark):
+    """Two more silent-wrong-answer classes the spec check must catch:
+    (a) tables written under different REGIONS carry incomparable cell ids
+    (same (x, y), different cell) — every other spec key matches, so only
+    a recorded region property can refuse the join; (b) swapped arguments
+    (or a query table written with the points writer) must name the actual
+    mistake, not die on a downstream KeyError."""
+    import pytest
+
+    from distributed_spatial_index_spark.config import Region
+
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    qs = src.range_queries(spark, SF_DIR, "lineitem")
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            write_bucketed_points(pts, "t_rm_pts", f"{d}/pts", n_buckets=4)
+            # TAXI-BJ-shaped region: every bound differs from DIDI-CD's
+            write_bucketed_query_cells(
+                qs, "t_rm_qc_bj", f"{d}/qc_bj", n_buckets=4,
+                region=Region(-100.0, -100.0, 10000.0, 10000.0),
+            )
+            with pytest.raises(ValueError, match="dsi.region"):
+                bucketed_point_range_join(spark, "t_rm_pts", "t_rm_qc_bj")
+
+            write_bucketed_query_cells(qs, "t_rm_qc", f"{d}/qc", n_buckets=4)
+            # swapped arguments: caught by the kind check, loudly
+            with pytest.raises(ValueError, match="dsi.kind"):
+                bucketed_point_range_join(spark, "t_rm_qc", "t_rm_pts")
+            # a "queries" table written with the POINTS writer: same check
+            with pytest.raises(ValueError, match="dsi.kind"):
+                bucketed_point_range_join(spark, "t_rm_pts", "t_rm_pts")
+    finally:
+        for t in ("t_rm_pts", "t_rm_qc_bj", "t_rm_qc"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -70,6 +70,45 @@ def test_manifest_file_pruning(spark):
         assert 0 < len(files) < total, (len(files), total)
 
 
+def test_manifest_raises_on_appended_files(spark):
+    """Freshness contract: data files appended AFTER write_manifest would
+    be silently never selected (their matches dropped) — the select must
+    cross-check the listing and raise instead."""
+    import pytest
+
+    from distributed_spatial_index_spark.sources.layout import (
+        list_data_files,
+        manifest_select_files,
+        write_manifest,
+    )
+
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    qs = src.range_queries(spark, SF_DIR, "lineitem").limit(3)
+    with tempfile.TemporaryDirectory() as d:
+        write_cell_layout(pts, f"{d}/docs")
+        write_manifest(spark, f"{d}/docs")
+        n_before = len(list_data_files(spark, f"{d}/docs"))
+        # fresh manifest passes the check
+        files, total = manifest_select_files(spark, f"{d}/docs", qs)
+        assert 0 < len(files) < total
+        # append a data file the manifest doesn't know about
+        (
+            pts.limit(3)
+            .withColumn("fcell", F.lit(0).cast("long"))
+            .withColumn("pcell", F.lit(0).cast("long"))
+            .write.mode("append")
+            .partitionBy("pcell")
+            .parquet(f"{d}/docs")
+        )
+        assert len(list_data_files(spark, f"{d}/docs")) > n_before
+        with pytest.raises(ValueError, match="stale"):
+            manifest_select_files(spark, f"{d}/docs", qs)
+        # re-running write_manifest restores selectability
+        write_manifest(spark, f"{d}/docs")
+        files2, total2 = manifest_select_files(spark, f"{d}/docs", qs)
+        assert total2 > total and len(files2) >= len(files)
+
+
 def test_distributed_coarse_cells_match_numpy_oracle(spark):
     """The PRODUCTION distributed derivation (distributed_covering_cells —
     the one helper behind pruned_point_range_join and
