@@ -176,6 +176,23 @@ def streaming_range_join_with_latency(
     )
 
 
+def _solver_opaque(cond):
+    """Hide a non-time boolean conjunct from Spark's stream-stream
+    state-watermark solver.  StreamingJoinHelper walks every top-level
+    inequality conjunct of the join condition and, while collecting terms,
+    calls ``eval()`` on whatever it takes for the constant side — for a
+    conjunct like ``x >= xmin - eps`` that side is an ATTRIBUTE, so every
+    micro-batch throws (and logs) a swallowed ``[INTERNAL_ERROR] Cannot
+    evaluate expression: xmin#...`` (StreamingJoinHelper.scala:204, the
+    per-predicate catch at getStateWatermarkSafely).  Wrapping the conjunct
+    as ``array_contains(array(cond), true)`` keeps execution semantics
+    identical in filter position (NULL -> NULL -> row dropped) but is not a
+    ``<``/``>=`` node, so the solver never looks inside — it analyzes only
+    the bare raw-column time bounds, which are exactly the ones it can
+    solve.  No optimizer rule re-expands this form back into conjuncts."""
+    return F.array_contains(F.array(cond), F.lit(True))
+
+
 def _stream_stream_matched(
     docs: DataFrame,
     queries: DataFrame,
@@ -213,12 +230,19 @@ def _stream_stream_matched(
         F.col("ts")
         <= F.col("qts") + F.expr(f"INTERVAL {window_ms} MILLISECONDS")
     )
+    # The containment refine and the derived window-aligned bounds are
+    # solver-opaque (see _solver_opaque): only the cell key and the raw
+    # (ts, qts) bounds remain visible to state-watermark analysis, so the
+    # per-micro-batch INTERNAL_ERROR/warning burst is gone and the solver
+    # cleanly derives both sides' eviction watermarks from raw_bound.
     return d.join(q, "cell").filter(
-        rect_contains_point(
-            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
-            F.col("x"), F.col("y"), eps,
+        _solver_opaque(
+            rect_contains_point(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+                F.col("x"), F.col("y"), eps,
+            )
+            & (F.col("ts") >= lo) & (F.col("ts") < hi)
         )
-        & (F.col("ts") >= lo) & (F.col("ts") < hi)
         & raw_bound
     )
 
