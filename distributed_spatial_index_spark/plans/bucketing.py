@@ -65,6 +65,7 @@ def write_bucketed_points(
     region: Region = DEFAULT_REGION,
     hot: list[int] | None = None,
     n_salt: int = 8,
+    coarse_bits: int | None = None,
 ) -> None:
     """points(id, x, y, ...) -> parquet table bucketed AND sorted by the
     routing cell (sortBy keeps each bucket file cell-clustered, so the SMJ
@@ -80,7 +81,21 @@ def write_bucketed_points(
     bucket spec: docs bucket on (cell, salt) and the query side duplicates
     hot rows into all n_salt sub-keys (write_bucketed_query_cells with the
     same hot list).  Results are unchanged; the hot cell's probe work
-    lands in n_salt co-located partitions instead of one."""
+    lands in n_salt co-located partitions instead of one.
+
+    ``coarse_bits``: the UNIFIED layout (r4 verdict #3) — additionally
+    hive-partition the table by the coarse Morton cell ``pcell``, derived
+    as ``cell >> 2*(bits - coarse_bits)`` (an EXACT integer prefix of the
+    fine Morton code — NOT re-derived from (x, y) at coarse resolution,
+    whose float rounding could disagree at cell borders).  One table then
+    carries BOTH landed capabilities: the bucket spec (Exchange-free
+    recurring joins) and directory+bucket pruning for selective query
+    batches (pruned_bucketed_point_range_join).  This is the parquet
+    stand-in for an Iceberg table with a truncate/partition transform AND
+    a bucket transform on the same schema.  Note each hive partition holds
+    up to n_buckets files, so pick coarse_bits so that
+    4^coarse_bits * n_buckets files stay row-group-sized at the target
+    scale."""
     spark = points.sparkSession
     df = points.withColumn(
         "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
@@ -94,10 +109,20 @@ def write_bucketed_points(
 
         df = salt_doc_side(df, hot_cell_lookup(spark, hot), n_salt)
         bucket_cols = ["cell", "salt"]
-    _write_bucketed(df, table, path, n_buckets, bucket_cols)
+    partition_cols: list[str] = []
+    if coarse_bits is not None:
+        if not 0 < coarse_bits < bits:
+            raise ValueError(
+                f"coarse_bits={coarse_bits} must be in (0, bits={bits})"
+            )
+        df = df.withColumn(
+            "pcell", F.shiftright(F.col("cell"), 2 * (bits - coarse_bits))
+        )
+        partition_cols = ["pcell"]
+    _write_bucketed(df, table, path, n_buckets, bucket_cols, partition_cols)
     _set_spec(spark, table, bits=bits, n_buckets=n_buckets,
               hot=hot, n_salt=n_salt, eps=None, region=region,
-              kind="points")
+              kind="points", coarse_bits=coarse_bits, path=path)
 
 
 def write_bucketed_query_cells(
@@ -131,12 +156,12 @@ def write_bucketed_query_cells(
     _write_bucketed(df, table, path, n_buckets, bucket_cols)
     _set_spec(spark, table, bits=bits, n_buckets=n_buckets,
               hot=hot, n_salt=n_salt, eps=eps, region=region,
-              kind="query_cells")
+              kind="query_cells", path=path)
 
 
 def _write_bucketed(
     df: DataFrame, table: str, path: str, n_buckets: int,
-    bucket_cols: list[str],
+    bucket_cols: list[str], partition_cols: list[str] | None = None,
 ) -> None:
     """The one write pipeline both table kinds share.  The repartition on
     the bucket columns first matters: repartition's hashpartitioning is the
@@ -144,14 +169,20 @@ def _write_bucketed(
     holds exactly one bucket's rows and the table lands as n_buckets files
     instead of tasks x buckets tiny ones (measured: 2049 -> 32 files at 64
     input partitions).  This IS the ingest-time shuffle the layout
-    amortizes."""
+    amortizes.  With ``partition_cols`` (the unified layout) each task
+    still holds whole buckets, so the table lands as one file per
+    non-empty (hive partition, bucket) pair."""
     df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
-    (
+    w = (
         df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
         .write.mode("overwrite")
         .format("parquet")
         .option("path", path)
-        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    (
+        w.bucketBy(n_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
         .saveAsTable(table)
     )
@@ -189,7 +220,7 @@ def _region_fingerprint(region: Region) -> str:
 
 
 def _set_spec(spark, table, *, bits, n_buckets, hot, n_salt, eps, region,
-              kind) -> None:
+              kind, coarse_bits=None, path=None) -> None:
     props = {
         "dsi.bits": str(bits),
         "dsi.n_buckets": str(n_buckets),
@@ -201,6 +232,12 @@ def _set_spec(spark, table, *, bits, n_buckets, hot, n_salt, eps, region,
     }
     if eps is not None:
         props["dsi.eps"] = repr(float(eps))
+    if coarse_bits is not None:
+        props["dsi.coarse_bits"] = str(coarse_bits)
+    if path is not None:
+        # recorded so manifest/pruning helpers can find the data files
+        # without the caller re-supplying the path (Iceberg: table location)
+        props["dsi.path"] = path
     kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
 
@@ -238,11 +275,19 @@ def bucketed_point_range_join(
     the query cells were exploded with — every such mismatch would be a
     silent wrong answer or a silently reinstated shuffle, so this raises
     instead."""
+    ps, qp = _validate_join_tables(spark, points_table, queries_table, eps)
+    return _refine_dedup(
+        spark.table(points_table), spark.table(queries_table), ps, eps
+    )
+
+
+def _validate_join_tables(spark, points_table, queries_table, eps):
+    """Shared loud-failure validation for the bucketed joins: kind check
+    first (a swapped/wrongly-written argument would otherwise surface as a
+    confusing eps/spec error or a bare KeyError), then spec equality, then
+    eps-vs-padding."""
     ps = _get_spec(spark, points_table)
     qp = _get_spec(spark, queries_table)
-    # kind check FIRST: a swapped/wrongly-written argument would otherwise
-    # surface as a confusing eps/spec error (or a bare KeyError) instead of
-    # naming the actual mistake.
     for tbl, spec, want in (
         (points_table, ps, "points"),
         (queries_table, qp, "query_cells"),
@@ -270,8 +315,12 @@ def bucketed_point_range_join(
             "borders would be silently missed — rewrite the query table "
             "with the larger eps"
         )
-    pts = spark.table(points_table)
-    q = spark.table(queries_table)
+    return ps, qp
+
+
+def _refine_dedup(pts, q, ps, eps):
+    """The co-located join body: equi-join on the bucketed key, epsilon
+    refine, result-set dedup."""
     key = ["cell", "salt"] if ps["dsi.salted"] == "1" else ["cell"]
     joined = pts.join(q, key).filter(
         rect_contains_point(
@@ -283,6 +332,196 @@ def bucketed_point_range_join(
         joined.select("query_id", F.col("id").alias("doc_id"))
         .dropDuplicates(["query_id", "doc_id"])
     )
+
+
+# --- Unified layout: manifest + pruned co-located join (r4 verdict #3) ------
+#
+# With ``coarse_bits`` set at write time, ONE table carries both landed
+# capabilities that rounds 1-4 proved separately: the bucket spec
+# (Exchange-free recurring joins, this module) and file skipping
+# (sources/layout.py's manifest architecture).  The pruned join below keeps
+# the scan going THROUGH the catalog table (so the bucket spec — and hence
+# the Exchange-free plan — survives) and prunes with literal filters the
+# planner turns into directory pruning (PartitionFilters on pcell) and
+# bucket pruning (SelectedBucketsCount from the InSet on the bucket
+# column).  The manifest is the metadata witness: per-file
+# (pcell, bucket, cell range, rows), the same stats an Iceberg manifest
+# carries, used here to report files_scanned/files_total without touching
+# the data.
+
+
+def write_bucketed_manifest(spark: SparkSession, table: str) -> None:
+    """Per-file manifest for a bucketed table, written to
+    ``<dsi.path>/_manifest``: (file_path, pcell?, bucket, cell_min,
+    cell_max, n_rows).  ``bucket`` is recorded twice-independently — from
+    the bucket-hash expression (pmod(hash(bucket_cols), n)) and parsed
+    from Spark's bucket-file naming (``..._NNNNN.c000``) — and the write
+    FAILS if any file disagrees, so the hash-parity assumption behind
+    bucket pruning is verified at ingest, not trusted.  A file with NO
+    bucket id in its name is flagged too — it means someone appended
+    plain parquet to the table path, which breaks the bucketed-scan
+    contract itself, not just the manifest."""
+    spec = _get_spec(spark, table)
+    if "dsi.path" not in spec:
+        raise ValueError(
+            f"table {table} records no dsi.path; rewrite it with the "
+            "current write_bucketed_* functions"
+        )
+    n = int(spec["dsi.n_buckets"])
+    # drop the cached file index: files INSERTed (or illegitimately
+    # appended) since the table was last planned must be manifested
+    spark.catalog.refreshTable(table)
+    df = spark.table(table)
+    bucket_cols = (
+        ["cell", "salt"] if spec["dsi.salted"] == "1" else ["cell"]
+    )
+    keys = [F.col("_metadata.file_path").alias("file_path")]
+    if "dsi.coarse_bits" in spec:
+        keys.append(F.col("pcell"))
+    man = (
+        df.groupBy(*keys)
+        .agg(
+            F.min(F.pmod(F.hash(*bucket_cols), F.lit(n))).alias("bucket"),
+            F.max(F.pmod(F.hash(*bucket_cols), F.lit(n))).alias("_bmax"),
+            F.min("cell").alias("cell_min"),
+            F.max("cell").alias("cell_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn(
+            # nullif: a non-bucket file yields "" and ANSI cast("")
+            # would throw; NULL is flagged as bad below instead
+            "_bname",
+            F.nullif(
+                F.regexp_extract(F.col("file_path"), r"_(\d{5})\.", 1),
+                F.lit(""),
+            ).cast("int"),
+        )
+    )
+    bad = man.filter(
+        F.col("_bname").isNull()
+        | (F.col("bucket") != F.col("_bmax"))
+        | (F.col("bucket") != F.col("_bname"))
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{bad} file(s) of {table} mix bucket ids or disagree with the "
+            "bucket-file naming — the table was not written by "
+            "write_bucketed_*, or the bucket-hash parity assumption broke"
+        )
+    (
+        man.drop("_bmax", "_bname")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{spec['dsi.path']}/_manifest")
+    )
+
+
+def pruned_bucketed_point_range_join(
+    spark: SparkSession,
+    points_table: str,
+    queries_table: str,
+    eps: float = EPSILON,
+    max_prune_cells: int = 20_000,
+) -> DataFrame:
+    """bucketed_point_range_join for SELECTIVE query batches over the
+    unified layout: same results, same Exchange-free co-located join, but
+    the points scan is narrowed with literal filters derived from the
+    landed query table — ``pcell IN (coarse cells)`` prunes whole hive
+    directories at planning time and ``cell IN (wanted cells)`` prunes
+    buckets (SelectedBucketsCount) plus parquet row groups (files are
+    sorted by cell).  Both filters only remove rows whose cell no query
+    covers, so the equi-join result is unchanged.
+
+    The wanted-cell set is the DISTINCT cells of the landed query table —
+    bounded by 4^bits regardless of query count; above ``max_prune_cells``
+    the fine filter is skipped (a non-selective batch reads the table
+    anyway) and only directory pruning applies.  Fine-cell bucket pruning
+    is unavailable for salted specs (the bucket key is (cell, salt));
+    directory pruning still applies.
+
+    If the table has a manifest (write_bucketed_manifest), the result
+    carries ``.prune_stats`` = {files_scanned, files_total, n_wanted_cells,
+    fine_pruned} computed from metadata alone — files_scanned is the
+    directory+bucket-level count, exactly the files the pruned scan opens.
+    """
+    ps, qp = _validate_join_tables(spark, points_table, queries_table, eps)
+    pts = spark.table(points_table)
+    q = spark.table(queries_table)
+
+    wanted = [
+        r["cell"]
+        for r in q.select("cell").distinct().limit(max_prune_cells + 1).collect()
+    ]
+    fine_ok = len(wanted) <= max_prune_cells and ps["dsi.salted"] != "1"
+    coarse: list[int] | None = None
+    if "dsi.coarse_bits" in ps:
+        shift = 2 * (int(ps["dsi.bits"]) - int(ps["dsi.coarse_bits"]))
+        if len(wanted) <= max_prune_cells:
+            coarse = sorted({c >> shift for c in wanted})
+        else:
+            # fine set too big to collect — the coarse distinct is still
+            # bounded by 4^coarse_bits, so derive it directly
+            coarse = sorted(
+                r["pc"]
+                for r in q.select(
+                    F.shiftright(F.col("cell"), shift).alias("pc")
+                ).distinct().collect()
+            )
+        pts = pts.filter(F.col("pcell").isin(coarse))
+    if fine_ok:
+        pts = pts.filter(F.col("cell").isin(wanted))
+    out = _refine_dedup(pts, q, ps, eps)
+
+    stats = {
+        "n_wanted_cells": len(wanted) if fine_ok else None,
+        "fine_pruned": fine_ok,
+        "coarse_pruned": coarse is not None,
+    }
+    man_path = f"{ps['dsi.path']}/_manifest" if "dsi.path" in ps else None
+    try:
+        man = spark.read.parquet(man_path) if man_path else None
+    except Exception:
+        man = None
+    if man is not None:
+        # same freshness discipline as sources/layout.py: a data file the
+        # manifest doesn't know about means the stats below would misreport
+        # (the scan itself stays correct — it goes through the catalog)
+        from distributed_spatial_index_spark.sources.layout import (
+            _norm_file_path,
+            list_data_files,
+        )
+
+        known = {
+            _norm_file_path(r["file_path"])
+            for r in man.select("file_path").collect()
+        }
+        unknown = [
+            f
+            for f in list_data_files(spark, ps["dsi.path"])
+            if f not in known
+        ]
+        if unknown:
+            raise ValueError(
+                f"manifest of {points_table} is stale: {len(unknown)} data "
+                f"file(s) missing (e.g. {unknown[0]}); re-run "
+                "write_bucketed_manifest"
+            )
+        sel = man
+        if coarse is not None:
+            sel = sel.filter(F.col("pcell").isin(coarse))
+        if fine_ok:
+            n = int(ps["dsi.n_buckets"])
+            wb = sorted(
+                r["b"]
+                for r in q.select(
+                    F.pmod(F.hash("cell"), F.lit(n)).alias("b")
+                ).distinct().collect()
+            )
+            sel = sel.filter(F.col("bucket").isin(wb))
+        stats["files_total"] = man.count()
+        stats["files_scanned"] = sel.count()
+    out.prune_stats = stats
+    return out
 
 
 def physical_plan_str(df: DataFrame) -> str:

@@ -8,6 +8,7 @@ shuffle the salted plan pays per query batch is eliminated by the layout.
 
 from __future__ import annotations
 
+import re
 import tempfile
 
 from distributed_spatial_index_spark.operators.range_join import point_range_join
@@ -213,3 +214,135 @@ def test_bucketed_join_refuses_region_and_kind_mismatch(spark):
     finally:
         for t in ("t_rm_pts", "t_rm_qc_bj", "t_rm_qc"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_unified_layout_zero_exchange_and_file_skipping(spark):
+    """The unified landed layout (r4 verdict #3): ONE table carries BOTH
+    the bucket spec (Exchange-free co-located join) and metadata file
+    skipping (hive pcell directories + bucket pruning, witnessed by the
+    manifest).  Asserts the co-located plan survives the pruning filters
+    (exactly one Exchange = result dedup), the scan shows partition AND
+    bucket pruning, the manifest reports 0 < files_scanned < files_total,
+    and results stay exactly equal to the broadcast join."""
+    from distributed_spatial_index_spark.plans.bucketing import (
+        pruned_bucketed_point_range_join,
+        write_bucketed_manifest,
+    )
+
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    # a SELECTIVE standing query batch — the regime file skipping serves
+    qs = src.range_queries(spark, SF_DIR, "lineitem").limit(3)
+    old = _no_broadcast(spark)
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            write_bucketed_points(
+                pts, "t_uni_pts", f"{d}/pts", n_buckets=4, coarse_bits=2
+            )
+            write_bucketed_query_cells(qs, "t_uni_qc", f"{d}/qc", n_buckets=4)
+            write_bucketed_manifest(spark, "t_uni_pts")
+
+            out = pruned_bucketed_point_range_join(
+                spark, "t_uni_pts", "t_uni_qc"
+            )
+
+            plan = physical_plan_str(out)
+            assert plan.count("Bucketed: true") == 2, plan
+            assert count_exchanges(out) == 1, plan
+            assert "SelectedBucketsCount" in plan, plan
+            # directory pruning engaged: the POINTS scan carries a
+            # non-empty pcell partition filter (the unpartitioned query
+            # scan legitimately shows PartitionFilters: [])
+            assert re.search(
+                r"PartitionFilters: \[[^\]]*pcell[^\]]*\]", plan
+            ), plan
+
+            stats = out.prune_stats
+            assert 0 < stats["files_scanned"] < stats["files_total"], stats
+            assert stats["fine_pruned"] and stats["coarse_pruned"], stats
+
+            got = sorted(map(tuple, out.collect()))
+            expect = sorted(map(tuple, point_range_join(pts, qs).collect()))
+            assert got == expect and len(got) > 0
+            # the plain bucketed join also works on the unified table and
+            # agrees (pruning changed the scan, never the answer)
+            unpruned = sorted(
+                map(
+                    tuple,
+                    bucketed_point_range_join(
+                        spark, "t_uni_pts", "t_uni_qc"
+                    ).collect(),
+                )
+            )
+            assert unpruned == got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_uni_pts")
+        spark.sql("DROP TABLE IF EXISTS t_uni_qc")
+
+
+def test_bucketed_manifest_staleness_raises(spark):
+    """Freshness contract for the bucketed manifest, mirroring the hive
+    layout's: data files appended after write_bucketed_manifest make the
+    prune stats unreliable — the pruned join must refuse loudly.  Two
+    append classes: a LEGITIMATE one (INSERT INTO the catalog table,
+    which writes real bucket files) is cured by re-running
+    write_bucketed_manifest; an ILLEGITIMATE one (plain parquet dropped
+    into the table path — which breaks the bucketed-scan contract itself)
+    makes the manifest WRITE refuse too, so the pollution can't be
+    papered over."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from distributed_spatial_index_spark.plans.bucketing import (
+        pruned_bucketed_point_range_join,
+        write_bucketed_manifest,
+    )
+
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    qs = src.range_queries(spark, SF_DIR, "lineitem").limit(3)
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            write_bucketed_points(
+                pts, "t_stale_pts", f"{d}/pts", n_buckets=4, coarse_bits=2
+            )
+            write_bucketed_query_cells(
+                qs, "t_stale_qc", f"{d}/qc", n_buckets=4
+            )
+            write_bucketed_manifest(spark, "t_stale_pts")
+            pruned_bucketed_point_range_join(
+                spark, "t_stale_pts", "t_stale_qc"
+            )  # fresh: fine
+
+            # legitimate append: INSERT INTO writes proper bucket files
+            # (materialized rows — Spark refuses insert-from-self)
+            two = spark.createDataFrame(
+                spark.table("t_stale_pts").limit(2).collect(),
+                spark.table("t_stale_pts").schema,
+            )
+            two.write.insertInto("t_stale_pts")
+            with pytest.raises(ValueError, match="stale"):
+                pruned_bucketed_point_range_join(
+                    spark, "t_stale_pts", "t_stale_qc"
+                )
+            # re-running the manifest write restores the pruned join
+            write_bucketed_manifest(spark, "t_stale_pts")
+            pruned_bucketed_point_range_join(
+                spark, "t_stale_pts", "t_stale_qc"
+            )
+
+            # illegitimate append: plain parquet with no bucket id in the
+            # file name — the pruned join refuses (stale) and so does the
+            # manifest rebuild (naming check)
+            spark.createDataFrame(
+                spark.table("t_stale_pts").limit(2).collect(),
+                spark.table("t_stale_pts").schema,
+            ).write.mode("append").partitionBy("pcell").parquet(f"{d}/pts")
+            with pytest.raises(ValueError, match="stale"):
+                pruned_bucketed_point_range_join(
+                    spark, "t_stale_pts", "t_stale_qc"
+                )
+            with pytest.raises(ValueError, match="bucket-file naming"):
+                write_bucketed_manifest(spark, "t_stale_pts")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_stale_pts")
+        spark.sql("DROP TABLE IF EXISTS t_stale_qc")
