@@ -91,11 +91,125 @@ def knn(
     (per-round frames are unpersisted after the union materializes);
     callers may ``unpersist()`` it when done.
     """
-    global last_stats
-    spark = points.sparkSession
     pts = points.select(
         F.col("id"), F.col("x").alias("px"), F.col("y").alias("py")
     ).withColumn("cell", cell_id_col(F.col("px"), F.col("py"), bits, region))
+    return _knn_core(
+        pts, queries, counts=None, k=k, r0=r0, growth=growth,
+        max_rounds=max_rounds, bits=bits, region=region, safety=safety,
+        fallback_cap=fallback_cap,
+    )
+
+
+def knn_landed(
+    spark,
+    points_table: str,
+    queries: DataFrame,
+    k: int = 5,
+    growth: float = 4.0,
+    max_rounds: int = 8,
+    bits: int = 7,
+    region: Region = DEFAULT_REGION,
+    safety: float = 3.0,
+    fallback_cap: int = 1024,
+) -> DataFrame:
+    """knn() served FROM the landed bucketed layout (plans/bucketing.py):
+    identical results and loop, but the two full-table stages knn() pays
+    before its first ring join disappear —
+
+    * the routing cell is the exact Morton PREFIX of the table's persisted
+      ``cell`` column (``shiftright(cell, 2*(dsi.bits - bits))``; integer
+      op, no float re-derivation — exact because the coordinate is scaled
+      once and multiplied by a power of two, so floor/clamp/interleave all
+      commute with the shift), and
+    * the round-1 radius comes from the COMMITTED per-cell density summary
+      (``<dsi.path>/_density``, written by write_bucketed_manifest in the
+      same pass as the manifest), rolled up from dsi.bits to ``bits`` by
+      the same prefix — a <= 4^dsi.bits-row metadata read instead of a
+      full-table aggregation.
+
+    At 100 TB that turns kNN's startup from "scan + shuffle everything,
+    then join" into "read a KB-scale summary, then join".  Loud contracts
+    match the other landed readers: region fingerprint, table kind, bits
+    vs dsi.bits, and the manifest-vs-listing freshness check (the density
+    summary is only trusted while the manifest is fresh, since one write
+    pass produces both).
+    """
+    from distributed_spatial_index_spark.plans.bucketing import (
+        _get_spec,
+        _region_fingerprint,
+        assert_manifest_fresh,
+    )
+
+    spec = _get_spec(spark, points_table)
+    if spec.get("dsi.kind") != "points":
+        raise ValueError(
+            f"knn_landed needs a points table; {points_table} records "
+            f"dsi.kind={spec.get('dsi.kind')!r}"
+        )
+    if spec["dsi.region"] != _region_fingerprint(region):
+        raise ValueError(
+            f"region mismatch: {points_table} was landed with region "
+            f"fingerprint {spec['dsi.region']}, call passes "
+            f"{_region_fingerprint(region)} — results would be silently "
+            "wrong; pass the region the table was written with"
+        )
+    tbits = int(spec["dsi.bits"])
+    if bits > tbits:
+        raise ValueError(
+            f"knn routing bits={bits} exceeds the landed table's "
+            f"dsi.bits={tbits}; the persisted cell cannot be refined — "
+            "land the table at finer bits or lower the routing bits"
+        )
+    path = spec["dsi.path"]
+    try:
+        man = spark.read.parquet(f"{path}/_manifest")
+        dens = spark.read.parquet(f"{path}/_density")
+    except Exception as exc:
+        raise ValueError(
+            f"{points_table} has no committed manifest/density summary "
+            "(write_bucketed_manifest) — knn_landed's whole point is the "
+            "committed metadata; run knn() for derive-per-call"
+        ) from exc
+    assert_manifest_fresh(spark, points_table, man, spec)
+
+    shift = 2 * (tbits - bits)
+    cell = F.shiftright(F.col("cell"), shift) if shift else F.col("cell")
+    counts = (
+        dens.groupBy(cell.alias("cell"))
+        .agg(F.sum("n").alias("n_in_cell"))
+    )
+    pts = spark.table(points_table).select(
+        F.col("id"), F.col("x").alias("px"), F.col("y").alias("py"),
+        cell.alias("cell"),
+    )
+    return _knn_core(
+        pts, queries, counts=counts, k=k, r0=None, growth=growth,
+        max_rounds=max_rounds, bits=bits, region=region, safety=safety,
+        fallback_cap=fallback_cap,
+    )
+
+
+def _knn_core(
+    pts: DataFrame,
+    queries: DataFrame,
+    *,
+    counts: DataFrame | None,
+    k: int,
+    r0: float | None,
+    growth: float,
+    max_rounds: int,
+    bits: int,
+    region: Region,
+    safety: float,
+    fallback_cap: int,
+) -> DataFrame:
+    """The ring-search loop shared by knn() (derives cell + density per
+    call) and knn_landed() (reads both from the landed layout).  ``pts``
+    is (id, px, py, cell at ``bits``); ``counts`` (cell, n_in_cell at
+    ``bits``) overrides the density aggregation when supplied."""
+    global last_stats
+    spark = pts.sparkSession
     pts = pts.persist()
 
     # Dedupe by query_id: sources may repeat a query row (lineitem-derived
@@ -109,7 +223,10 @@ def knn(
     if r0 is None:
         cw = region.width / (1 << bits)
         ch = region.height / (1 << bits)
-        counts = pts.groupBy("cell").agg(F.count(F.lit(1)).alias("n_in_cell"))
+        if counts is None:
+            counts = pts.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n_in_cell")
+            )
         lam = F.col("n_in_cell") / F.lit(cw * ch)
         want = F.sqrt(F.lit(safety * k) / (F.lit(math.pi) * lam))
         # No geometric floor: the cell cover is a superset of the r-disk at

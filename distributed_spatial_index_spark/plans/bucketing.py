@@ -360,7 +360,14 @@ def write_bucketed_manifest(spark: SparkSession, table: str) -> None:
     bucket pruning is verified at ingest, not trusted.  A file with NO
     bucket id in its name is flagged too — it means someone appended
     plain parquet to the table path, which breaks the bucketed-scan
-    contract itself, not just the manifest."""
+    contract itself, not just the manifest.
+
+    For ``kind='points'`` tables the same single table scan ALSO commits
+    the per-cell density summary ``<dsi.path>/_density`` (cell at
+    dsi.bits, n) that knn_landed's round-1 radius reads — both metadata
+    artifacts come from one pass (one (file, cell)-grained aggregation,
+    two tiny rollups), so at ingest scale the table is read once, and
+    both share one freshness domain (the manifest-vs-listing check)."""
     spec = _get_spec(spark, table)
     if "dsi.path" not in spec:
         raise ValueError(
@@ -378,14 +385,38 @@ def write_bucketed_manifest(spark: SparkSession, table: str) -> None:
     keys = [F.col("_metadata.file_path").alias("file_path")]
     if "dsi.coarse_bits" in spec:
         keys.append(F.col("pcell"))
+    # (file, cell)-grained pre-aggregation: bucket files hold exactly one
+    # bucket's rows, so per-(file, cell) bucket-hash min==max still rolls
+    # up to the per-file parity check; cell-grained counts roll up to the
+    # density summary.  Bounded by cells x their file replication — tiny.
+    # Bucketed reading is disabled for this one scan: the group key now
+    # contains the bucket column, and Spark's bucketed scan would throw a
+    # cryptic INVALID_BUCKET_FILE on a polluted path before OUR check can
+    # name the actual problem (and the write gains nothing from the
+    # bucket-distribution shortcut).
+    old_bkt = spark.conf.get("spark.sql.sources.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    try:
+        per = (
+            df.groupBy(*keys, F.col("cell"))
+            .agg(
+                F.min(F.pmod(F.hash(*bucket_cols), F.lit(n))).alias("_bmin"),
+                F.max(F.pmod(F.hash(*bucket_cols), F.lit(n))).alias("_bmax"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .persist()
+        )
+        per.count()  # materialize under the disabled-bucketing conf
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", old_bkt)
     man = (
-        df.groupBy(*keys)
+        per.groupBy("file_path", *(["pcell"] if len(keys) == 2 else []))
         .agg(
-            F.min(F.pmod(F.hash(*bucket_cols), F.lit(n))).alias("bucket"),
-            F.max(F.pmod(F.hash(*bucket_cols), F.lit(n))).alias("_bmax"),
+            F.min("_bmin").alias("bucket"),
+            F.max("_bmax").alias("_bmax"),
             F.min("cell").alias("cell_min"),
             F.max("cell").alias("cell_max"),
-            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n").alias("n_rows"),
         )
         .withColumn(
             # nullif: a non-bucket file yields "" and ANSI cast("")
@@ -414,6 +445,43 @@ def write_bucketed_manifest(spark: SparkSession, table: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{spec['dsi.path']}/_manifest")
     )
+    if spec.get("dsi.kind") == "points":
+        (
+            per.groupBy("cell")
+            .agg(F.sum("n").alias("n"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{spec['dsi.path']}/_density")
+        )
+    per.unpersist()
+
+
+def assert_manifest_fresh(
+    spark: SparkSession, table: str, man: DataFrame, spec: dict[str, str]
+) -> None:
+    """Raise if the table path holds data files the manifest doesn't know
+    about (appended since write_bucketed_manifest) — every metadata
+    artifact under <dsi.path> (manifest, density summary) is written by
+    that one pass, so this single check covers them all.  Pure-metadata
+    op: a file listing vs the manifest's file_path column."""
+    from distributed_spatial_index_spark.sources.layout import (
+        _norm_file_path,
+        list_data_files,
+    )
+
+    known = {
+        _norm_file_path(r["file_path"])
+        for r in man.select("file_path").collect()
+    }
+    unknown = [
+        f for f in list_data_files(spark, spec["dsi.path"]) if f not in known
+    ]
+    if unknown:
+        raise ValueError(
+            f"manifest of {table} is stale: {len(unknown)} data "
+            f"file(s) missing (e.g. {unknown[0]}); re-run "
+            "write_bucketed_manifest"
+        )
 
 
 def pruned_bucketed_point_range_join(
@@ -486,26 +554,7 @@ def pruned_bucketed_point_range_join(
         # same freshness discipline as sources/layout.py: a data file the
         # manifest doesn't know about means the stats below would misreport
         # (the scan itself stays correct — it goes through the catalog)
-        from distributed_spatial_index_spark.sources.layout import (
-            _norm_file_path,
-            list_data_files,
-        )
-
-        known = {
-            _norm_file_path(r["file_path"])
-            for r in man.select("file_path").collect()
-        }
-        unknown = [
-            f
-            for f in list_data_files(spark, ps["dsi.path"])
-            if f not in known
-        ]
-        if unknown:
-            raise ValueError(
-                f"manifest of {points_table} is stale: {len(unknown)} data "
-                f"file(s) missing (e.g. {unknown[0]}); re-run "
-                "write_bucketed_manifest"
-            )
+        assert_manifest_fresh(spark, points_table, man, ps)
         sel = man
         if coarse is not None:
             sel = sel.filter(F.col("pcell").isin(coarse))

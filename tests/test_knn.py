@@ -118,3 +118,66 @@ def test_knn_fallback_bounded_and_loud(spark):
     assert got.knn_stats["fallback_used"]  # snapshot survived the new call
     assert expect.knn_stats == knn_mod.last_stats
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_knn_landed_matches_knn_and_enforces_contracts(spark):
+    """knn_landed (r4 verdict #4): served from the landed bucketed layout
+    — persisted-cell prefix routing + committed density — it must return
+    EXACTLY knn()'s rows and stats, and refuse loudly when the layout
+    contract is broken (missing metadata, wrong kind, bits finer than the
+    landed cell, stale manifest)."""
+    import tempfile
+
+    import pytest
+
+    from distributed_spatial_index_spark.operators.knn import knn_landed
+    from distributed_spatial_index_spark.plans.bucketing import (
+        write_bucketed_manifest,
+        write_bucketed_points,
+        write_bucketed_query_cells,
+    )
+
+    pts = src.unique_geo_points(spark, SF_DIR, "lineitem")
+    qs = src.knn_queries(spark, SF_DIR, "lineitem")
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            write_bucketed_points(
+                pts, "t_knnl_pts", f"{d}/pts", n_buckets=4, bits=10,
+                coarse_bits=2,
+            )
+            # metadata not committed yet -> loud refusal, not silent derive
+            with pytest.raises(ValueError, match="manifest/density"):
+                knn_landed(spark, "t_knnl_pts", qs, k=5)
+            write_bucketed_manifest(spark, "t_knnl_pts")
+
+            a = knn(pts, qs, k=5)
+            b = knn_landed(spark, "t_knnl_pts", qs, k=5)
+            assert sorted(map(tuple, a.collect())) == sorted(
+                map(tuple, b.collect())
+            )
+            assert a.knn_stats == b.knn_stats
+
+            # routing bits finer than the landed cell cannot be served
+            with pytest.raises(ValueError, match="exceeds the landed"):
+                knn_landed(spark, "t_knnl_pts", qs, k=5, bits=11)
+            # a query_cells table is not a points table
+            write_bucketed_query_cells(
+                src.range_queries(spark, SF_DIR, "lineitem").limit(2),
+                "t_knnl_qc", f"{d}/qc", n_buckets=4,
+            )
+            with pytest.raises(ValueError, match="kind"):
+                knn_landed(spark, "t_knnl_qc", qs, k=5)
+            # staleness: an appended file invalidates the committed density
+            two = spark.createDataFrame(
+                spark.table("t_knnl_pts").limit(2).collect(),
+                spark.table("t_knnl_pts").schema,
+            )
+            two.write.insertInto("t_knnl_pts")
+            with pytest.raises(ValueError, match="stale"):
+                knn_landed(spark, "t_knnl_pts", qs, k=5)
+            # re-manifesting (one pass, both artifacts) cures it
+            write_bucketed_manifest(spark, "t_knnl_pts")
+            knn_landed(spark, "t_knnl_pts", qs, k=5)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_knnl_pts")
+        spark.sql("DROP TABLE IF EXISTS t_knnl_qc")
