@@ -95,6 +95,7 @@ def scaling_mode() -> None:
     # further down the same curve.
     scale = int(os.environ.get("SPARK_GRAFT_SCALING_SCALE", "32"))
     out = {n_small: float("inf"), n_small * 4: float("inf")}
+    bkt = {n_small: float("inf"), n_small * 4: float("inf")}
     n_docs = 0
     # Interleave the two levels across rounds and keep each level's MINIMUM:
     # this sandbox is a shared microVM whose available CPU swings several-x
@@ -125,14 +126,60 @@ def scaling_mode() -> None:
                 _materialize(point_range_join(pts, qs, bits=9))
                 _materialize(assign_tiles(pts))
                 out[cpus] = min(out[cpus], _time.perf_counter() - t0)
+            # The bucketed regime at both cluster sizes (r4 verdict #5):
+            # the 100-TB recurring-join argument rests on the co-located
+            # SMJ, so IT is what must scale, not just the broadcast join.
+            # The table layout is FIXED across levels (n_buckets=16, the
+            # larger level's parallelism) — a real deployment sizes
+            # buckets by data, then reads the same table from any cluster
+            # size — so only compute varies between t_N and t_4N.  Ingest
+            # is untimed (amortized), rewritten per session because the
+            # bucket spec lives in the session catalog.
+            import shutil as _shutil
+            import tempfile as _tempfile
+
+            from distributed_spatial_index_spark.plans.bucketing import (
+                bucketed_point_range_join,
+                write_bucketed_points,
+                write_bucketed_query_cells,
+            )
+
+            bkt_dir = _tempfile.mkdtemp(prefix="dsi_scal_bkt_")
+            old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            try:
+                write_bucketed_points(
+                    pts, "scal_bkt_pts", f"{bkt_dir}/pts", n_buckets=16
+                )
+                write_bucketed_query_cells(
+                    qs, "scal_bkt_qc", f"{bkt_dir}/qc", n_buckets=16
+                )
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                _materialize(bucketed_point_range_join(
+                    spark, "scal_bkt_pts", "scal_bkt_qc"))  # warm
+                for _ in range(2):
+                    t0 = _time.perf_counter()
+                    _materialize(bucketed_point_range_join(
+                        spark, "scal_bkt_pts", "scal_bkt_qc"))
+                    bkt[cpus] = min(
+                        bkt[cpus], _time.perf_counter() - t0)
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", old_bc)
+                spark.sql("DROP TABLE IF EXISTS scal_bkt_pts")
+                spark.sql("DROP TABLE IF EXISTS scal_bkt_qc")
+                _shutil.rmtree(bkt_dir, ignore_errors=True)
             spark.stop()
     t_n, t_4n = out[n_small], out[n_small * 4]
+    bt_n, bt_4n = bkt[n_small], bkt[n_small * 4]
     payload = {
         "metric": "scaling_efficiency",
         "value": round((t_n / t_4n) / 4, 4),
         "unit": "ratio",
         "queries": {f"core_t{n_small}": round(t_n, 3),
-                    f"core_t{n_small * 4}": round(t_4n, 3)},
+                    f"core_t{n_small * 4}": round(t_4n, 3),
+                    f"bucketed_t{n_small}": round(bt_n, 3),
+                    f"bucketed_t{n_small * 4}": round(bt_4n, 3)},
+        "bucketed_efficiency": round((bt_n / bt_4n) / 4, 4),
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
         "n_docs": n_docs,
         "docs_per_sec_n": round(n_docs / t_n, 1),
@@ -141,7 +188,7 @@ def scaling_mode() -> None:
     print(json.dumps(payload))
     # committed artifact (round-2 verdict ask #10): the scaling evidence
     # lives as JSON next to the headline BENCH file, not only in prose
-    out_path = os.environ.get("SPARK_GRAFT_SCALING_OUT", "BENCH_scaling_r4.json")
+    out_path = os.environ.get("SPARK_GRAFT_SCALING_OUT", "BENCH_scaling_r5.json")
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
 

@@ -44,3 +44,11 @@ def assert_same_rows(spark_df, ddb_rows, sort_cols=None):
         f"spark-only={list((a - b).keys())[:5]} "
         f"oracle-only={list((b - a).keys())[:5]}"
     )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running load/stress tests (run by default; deselect "
+        "with -m 'not slow' for a quick pass)",
+    )
