@@ -456,6 +456,149 @@ def write_bucketed_manifest(spark: SparkSession, table: str) -> None:
     per.unpersist()
 
 
+def update_bucketed_manifest(spark: SparkSession, table: str) -> int:
+    """INCREMENTAL manifest/density maintenance — the Iceberg-snapshot
+    analogue of write_bucketed_manifest: scan ONLY the data files
+    appended since the last manifest write (e.g. by ``INSERT INTO``),
+    verify their bucket parity, and merge their stats into ``_manifest``
+    and ``_density``.  Returns the number of files merged (0 = already
+    fresh).  At the 100-TB design point this is the difference between
+    an append costing a scan of the appended files and an append costing
+    a full-table rescan.
+
+    Removals are NOT incremental: a manifested file gone from disk
+    (compaction, delete) raises toward the full rewrite — per-cell
+    density cannot be un-summed from per-file ranges.  A new file that
+    spans hive partitions or mixes bucket ids raises exactly like the
+    full write (same pollution discipline)."""
+    from distributed_spatial_index_spark.sources.layout import (
+        _norm_file_path,
+        list_data_files,
+    )
+
+    spec = _get_spec(spark, table)
+    if "dsi.path" not in spec:
+        raise ValueError(
+            f"table {table} records no dsi.path; rewrite it with the "
+            "current write_bucketed_* functions"
+        )
+    path = spec["dsi.path"]
+    try:
+        man = spark.read.parquet(f"{path}/_manifest")
+    except Exception as exc:
+        raise ValueError(
+            f"{table} has no manifest to update; run "
+            "write_bucketed_manifest first"
+        ) from exc
+    known = {
+        _norm_file_path(r["file_path"])
+        for r in man.select("file_path").collect()
+    }
+    listing = list_data_files(spark, path)
+    missing = sorted(known - set(listing))
+    if missing:
+        raise ValueError(
+            f"{len(missing)} manifested file(s) of {table} no longer "
+            f"exist (e.g. {missing[0]}): removals cannot be merged "
+            "incrementally — re-run write_bucketed_manifest"
+        )
+    new = [f for f in listing if f not in known]
+    if not new:
+        return 0
+
+    n = int(spec["dsi.n_buckets"])
+    bucket_cols = (
+        ["cell", "salt"] if spec["dsi.salted"] == "1" else ["cell"]
+    )
+    # normalized paths are scheme-stripped; this engine's layouts are
+    # local-or-one-scheme, so a leading slash restores a readable path
+    df = spark.read.parquet(*[f"/{f}" for f in new])
+    per = (
+        df.groupBy(
+            F.col("_metadata.file_path").alias("file_path"), F.col("cell")
+        )
+        .agg(
+            F.min(F.pmod(F.hash(*bucket_cols), F.lit(n))).alias("_bmin"),
+            F.max(F.pmod(F.hash(*bucket_cols), F.lit(n))).alias("_bmax"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .persist()
+    )
+    per.count()
+    man_new = (
+        per.groupBy("file_path")
+        .agg(
+            F.min("_bmin").alias("bucket"),
+            F.max("_bmax").alias("_bmax"),
+            F.min("cell").alias("cell_min"),
+            F.max("cell").alias("cell_max"),
+            F.sum("n").alias("n_rows"),
+        )
+        .withColumn(
+            "_bname",
+            F.nullif(
+                F.regexp_extract(F.col("file_path"), r"_(\d{5})\.", 1),
+                F.lit(""),
+            ).cast("int"),
+        )
+    )
+    if "dsi.coarse_bits" in spec:
+        # the hive partition value is not stored inside the files; it is
+        # the exact integer prefix of the cell, so derive it and REQUIRE
+        # the whole file to share it (a file spanning partitions is the
+        # same pollution class as a mixed-bucket file)
+        shift = 2 * (int(spec["dsi.bits"]) - int(spec["dsi.coarse_bits"]))
+        man_new = man_new.withColumn(
+            "pcell",
+            F.shiftright(F.col("cell_min"), shift).cast(
+                dict(man.dtypes)["pcell"]
+            ),
+        ).withColumn(
+            "_pmax", F.shiftright(F.col("cell_max"), shift)
+        )
+        span = man_new.filter(F.col("pcell") != F.col("_pmax")).count()
+        if span:
+            raise ValueError(
+                f"{span} new file(s) of {table} span hive partitions — "
+                "not written by this layout's writers"
+            )
+        man_new = man_new.drop("_pmax")
+    bad = man_new.filter(
+        F.col("_bname").isNull()
+        | (F.col("bucket") != F.col("_bmax"))
+        | (F.col("bucket") != F.col("_bname"))
+    ).count()
+    if bad:
+        per.unpersist()
+        raise ValueError(
+            f"{bad} new file(s) of {table} mix bucket ids or disagree "
+            "with the bucket-file naming — the append was not written "
+            "through the table (INSERT INTO), or parity broke"
+        )
+    # materialize BOTH merged frames before overwriting the paths they
+    # read from (localCheckpoint cuts the lineage back to the old files)
+    man_all = (
+        man.unionByName(man_new.drop("_bmax", "_bname"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    dens_all = None
+    if spec.get("dsi.kind") == "points":
+        dens_all = (
+            spark.read.parquet(f"{path}/_density")
+            .unionByName(per.groupBy("cell").agg(F.sum("n").alias("n")))
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    man_all.write.mode("overwrite").parquet(f"{path}/_manifest")
+    if dens_all is not None:
+        dens_all.write.mode("overwrite").parquet(f"{path}/_density")
+    per.unpersist()
+    return len(new)
+
+
 def assert_manifest_fresh(
     spark: SparkSession, table: str, man: DataFrame, spec: dict[str, str]
 ) -> None:

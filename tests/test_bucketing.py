@@ -394,3 +394,78 @@ def test_iceberg_bucket_transform_if_available(spark):
         assert files.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS iceberg_cat.db.t_ice_pts")
+
+
+def test_incremental_manifest_update_equals_full_rewrite(spark):
+    """update_bucketed_manifest (r5): an INSERT INTO append is repaired by
+    scanning ONLY the new files — and the merged manifest + density must
+    be VALUE-IDENTICAL to a from-scratch write_bucketed_manifest, so the
+    incremental path can never drift from the full one.  Also pins: no-op
+    update returns 0, the repaired metadata serves the pruned join again,
+    and a manifested file deleted from disk refuses the incremental path
+    (removals need the full rewrite)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from distributed_spatial_index_spark.plans.bucketing import (
+        pruned_bucketed_point_range_join,
+        update_bucketed_manifest,
+        write_bucketed_manifest,
+    )
+
+    pts = src.geo_points(spark, SF_DIR, "lineitem")
+    qs = src.range_queries(spark, SF_DIR, "lineitem").limit(3)
+
+    def snap(path):
+        man = sorted(
+            map(tuple, spark.read.parquet(f"{path}/_manifest")
+                .drop("file_path").collect())
+        )
+        dens = sorted(
+            map(tuple, spark.read.parquet(f"{path}/_density").collect())
+        )
+        return man, dens
+
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            write_bucketed_points(
+                pts, "t_inc_pts", f"{d}/pts", n_buckets=4, coarse_bits=2
+            )
+            write_bucketed_query_cells(qs, "t_inc_qc", f"{d}/qc", n_buckets=4)
+            write_bucketed_manifest(spark, "t_inc_pts")
+            assert update_bucketed_manifest(spark, "t_inc_pts") == 0
+
+            rows = spark.createDataFrame(
+                spark.table("t_inc_pts").limit(5).collect(),
+                spark.table("t_inc_pts").schema,
+            )
+            rows.write.insertInto("t_inc_pts")
+            n_new = update_bucketed_manifest(spark, "t_inc_pts")
+            assert n_new > 0
+            inc = snap(f"{d}/pts")
+            # the repaired metadata serves the pruned join (fresh again)
+            out = pruned_bucketed_point_range_join(
+                spark, "t_inc_pts", "t_inc_qc"
+            )
+            assert out.prune_stats["files_total"] > 0
+
+            # ground truth: full rewrite over the same table
+            write_bucketed_manifest(spark, "t_inc_pts")
+            full = snap(f"{d}/pts")
+            assert inc == full
+
+            # removals are not incremental: delete one manifested file
+            from distributed_spatial_index_spark.sources.layout import (
+                _norm_file_path,
+            )
+
+            victim = spark.read.parquet(f"{d}/pts/_manifest").select(
+                "file_path").first()["file_path"]
+            os.remove("/" + _norm_file_path(victim))
+            with pytest.raises(ValueError, match="no longer exist"):
+                update_bucketed_manifest(spark, "t_inc_pts")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_inc_pts")
+        spark.sql("DROP TABLE IF EXISTS t_inc_qc")
