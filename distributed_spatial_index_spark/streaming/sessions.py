@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -75,15 +76,39 @@ def _make_session_fn(gap_ms: int, idle_ttl_ms: int | None = None):
                     start_ts, last_ts, n = None, None, 0
             else:
                 ordinal, start_ts, last_ts, n = 0, None, None, 0
-            for tms in pdf["tms"].astype("int64"):
-                tms = int(tms)
-                if start_ts is None:
-                    ordinal, start_ts, last_ts, n = ordinal + 1, tms, tms, 1
-                elif tms - last_ts > gap_ms:
+            # Vectorized gap split (no per-event Python loop): an event
+            # OPENS a session when it follows its predecessor — the
+            # carry-in last_ts for the first event — by more than the gap;
+            # cumsum of those breaks numbers the batch's sessions, with
+            # segment 0 (only possible with an open carry-in) extending
+            # the carried session.  Every segment but the last closes in
+            # this invocation; the last becomes the new open state.
+            ts = pdf["tms"].to_numpy(np.int64)
+            if len(ts):
+                prev0 = last_ts if start_ts is not None else ts[0] - gap_ms - 1
+                prev = np.concatenate(([prev0], ts[:-1]))
+                seg = np.cumsum((ts - prev) > gap_ms)
+                if start_ts is not None and seg[0] != 0:
+                    # the carried-in open session got NO events this batch
+                    # (the first event already broke the gap): it closes
+                    # here with its carried stats
                     out.append((user_id, ordinal, n, start_ts, last_ts))
-                    ordinal, start_ts, last_ts, n = ordinal + 1, tms, tms, 1
-                else:
-                    last_ts, n = tms, n + 1
+                uniq, first, counts = np.unique(
+                    seg, return_index=True, return_counts=True
+                )
+                for j in range(len(uniq) - 1):  # closed sessions only
+                    s = int(uniq[j])
+                    out.append((
+                        user_id,
+                        ordinal + s,
+                        int(counts[j]) + (n if s == 0 else 0),
+                        start_ts if s == 0 else int(ts[first[j]]),
+                        int(ts[first[j] + counts[j] - 1]),
+                    ))
+                j, s = len(uniq) - 1, int(uniq[-1])
+                start_ts = start_ts if s == 0 else int(ts[first[j]])
+                n = int(counts[j]) + (n if s == 0 else 0)
+                ordinal, last_ts = ordinal + s, int(ts[-1])
             state.update((ordinal, start_ts, last_ts, n))
             # fire when the watermark passes the session gap; Spark requires
             # a timeout strictly beyond the current watermark
