@@ -389,6 +389,15 @@ def main() -> None:
         _materialize(knn_landed(spark, "bench_knn_pts", kq, k=5))
         timed("knn_landed", lambda: knn_landed(
             spark, "bench_knn_pts", kq, k=5))
+
+        # NO pruned-join wall-clock row, deliberately: at sf0.1 the whole
+        # table is ~60 MB and page-cached, so the scan the pruning saves
+        # costs ~nothing while the pruning itself (wanted-cell collect +
+        # IN-list planning) costs 0.3-2.5 s — measured A/B in
+        # BENCH/BASELINE.md "File skipping" note.  The skip is witnessed
+        # by metadata instead (prune_stats files_scanned/files_total —
+        # pytest asserts 0 < scanned < total; measured 16/128 at 4
+        # selective queries on the sf0.1 layout).
     finally:
         spark.sql("DROP TABLE IF EXISTS bench_knn_pts")
         shutil.rmtree(knnl_dir, ignore_errors=True)

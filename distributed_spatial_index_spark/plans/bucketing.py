@@ -633,6 +633,7 @@ def pruned_bucketed_point_range_join(
     queries_table: str,
     eps: float = EPSILON,
     max_prune_cells: int = 20_000,
+    with_stats: bool = True,
 ) -> DataFrame:
     """bucketed_point_range_join for SELECTIVE query batches over the
     unified layout: same results, same Exchange-free co-located join, but
@@ -654,6 +655,14 @@ def pruned_bucketed_point_range_join(
     carries ``.prune_stats`` = {files_scanned, files_total, n_wanted_cells,
     fine_pruned} computed from metadata alone — files_scanned is the
     directory+bucket-level count, exactly the files the pruned scan opens.
+
+    ``with_stats=False`` skips the manifest read, freshness listing, and
+    stats counts — several small DRIVER-SIDE jobs that are pure
+    diagnostics (the scan's correctness never depends on the manifest:
+    it goes through the catalog table, and the prune filters derive from
+    the query table).  At sandbox scale those mini-jobs cost more than
+    the whole join, so the recurring-serving configuration turns them
+    off; keep them on when auditing what a layout is actually skipping.
     """
     ps, qp = _validate_join_tables(spark, points_table, queries_table, eps)
     pts = spark.table(points_table)
@@ -688,7 +697,11 @@ def pruned_bucketed_point_range_join(
         "fine_pruned": fine_ok,
         "coarse_pruned": coarse is not None,
     }
-    man_path = f"{ps['dsi.path']}/_manifest" if "dsi.path" in ps else None
+    man_path = (
+        f"{ps['dsi.path']}/_manifest"
+        if with_stats and "dsi.path" in ps
+        else None
+    )
     try:
         man = spark.read.parquet(man_path) if man_path else None
     except Exception:
