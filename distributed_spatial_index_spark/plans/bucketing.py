@@ -456,6 +456,62 @@ def write_bucketed_manifest(spark: SparkSession, table: str) -> None:
     per.unpersist()
 
 
+def compact_bucketed_table(
+    spark: SparkSession, table: str, new_path: str
+) -> tuple[int, int]:
+    """Compaction — the parquet stand-in for Iceberg's rewrite_data_files
+    + snapshot swap.  Streaming appends (streaming/land.py) add up to
+    n_buckets files per touched hive partition per micro-batch; this
+    rewrites the table's rows into fresh full-size bucket files at
+    ``new_path`` (one file per non-empty (pcell, bucket) pair again),
+    swaps the catalog table onto them with the SAME spec (every dsi.*
+    property is carried over verbatim, only dsi.path changes — the rows
+    already carry cell/salt/pcell, so nothing is re-derived), and
+    re-manifests.  Returns (files_before, files_after).
+
+    The OLD path is left on disk — the snapshot-retire analogue: readers
+    that resolved the table before the swap keep a consistent view of the
+    old files; the caller deletes the old path once they drain.  Cost is
+    one table scan plus the ingest shuffle, i.e. the same bill as the
+    original landing — paid when file-count debt says so, not per batch.
+    """
+    from distributed_spatial_index_spark.sources.layout import (
+        list_data_files,
+    )
+
+    spec = _get_spec(spark, table)
+    if "dsi.path" not in spec:
+        raise ValueError(
+            f"table {table} records no dsi.path; rewrite it with the "
+            "current write_bucketed_* functions"
+        )
+    if spec["dsi.path"] == new_path:
+        raise ValueError(
+            "compaction writes a NEW path and swaps (read-old-write-new); "
+            "in-place rewrite would race its own scan"
+        )
+    files_before = len(list_data_files(spark, spec["dsi.path"]))
+    # read the OLD files by path, not through the catalog: _write_bucketed
+    # drops the catalog entry before writing, and a catalog-resolved plan
+    # would re-resolve against the dropped name at action time.  Path
+    # reads also make the read-old-write-new contract explicit.
+    df = spark.read.parquet(spec["dsi.path"])
+    bucket_cols = (
+        ["cell", "salt"] if spec["dsi.salted"] == "1" else ["cell"]
+    )
+    partition_cols = ["pcell"] if "dsi.coarse_bits" in spec else []
+    _write_bucketed(
+        df, table, new_path, int(spec["dsi.n_buckets"]), bucket_cols,
+        partition_cols,
+    )
+    props = {k: v for k, v in spec.items() if k.startswith("dsi.")}
+    props["dsi.path"] = new_path
+    kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+    write_bucketed_manifest(spark, table)
+    return files_before, len(list_data_files(spark, new_path))
+
+
 def update_bucketed_manifest(spark: SparkSession, table: str) -> int:
     """INCREMENTAL manifest/density maintenance — the Iceberg-snapshot
     analogue of write_bucketed_manifest: scan ONLY the data files

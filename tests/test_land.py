@@ -71,6 +71,27 @@ def test_stream_landed_table_serves_all_landed_readers(spark):
                 spark, "t_land_pts", kq, k=3).collect()))
             assert a == b and len(a) > 0
 
+            # compaction pays down the stream's file-count debt: fewer
+            # files, same spec, same answers, fresh manifest — and the
+            # landed readers keep working on the swapped table
+            from distributed_spatial_index_spark.plans.bucketing import (
+                compact_bucketed_table,
+            )
+
+            before, after = compact_bucketed_table(
+                spark, "t_land_pts", f"{d}/pts_compact"
+            )
+            assert after < before, (before, after)
+            out2 = bucketed_point_range_join(spark, "t_land_pts", "t_land_qc")
+            assert count_exchanges(out2) == 1
+            assert sorted(map(tuple, out2.collect())) == got
+            sel2 = pruned_bucketed_point_range_join(
+                spark, "t_land_pts", "t_land_qc"
+            )
+            assert sel2.prune_stats["files_total"] == after
+            assert sorted(map(tuple, knn_landed(
+                spark, "t_land_pts", kq, k=3).collect())) == a
+
             # restart against a different layout refuses loudly instead
             # of appending wrong cells (message surfaces through the
             # StreamingQueryException chain)
