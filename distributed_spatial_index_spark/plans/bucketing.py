@@ -509,6 +509,16 @@ def compact_bucketed_table(
     kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
     write_bucketed_manifest(spark, table)
+    # a stream-landed table's idempotent-commit marker must survive the
+    # swap, or a post-compaction crash replay would re-insert its batch
+    from distributed_spatial_index_spark.streaming.land import (
+        read_stream_commit,
+        write_stream_commit,
+    )
+
+    commit = read_stream_commit(spec["dsi.path"])
+    if commit is not None:
+        write_stream_commit(new_path, *commit)
     return files_before, len(list_data_files(spark, new_path))
 
 

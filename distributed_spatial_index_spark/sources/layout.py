@@ -107,6 +107,20 @@ def _norm_file_path(p: str) -> str:
     return p.lstrip("/")
 
 
+def _local_root(path: str) -> str | None:
+    """``/x``, ``file:/x``, ``file:///x`` -> the local filesystem path;
+    None for any other scheme (callers fall back to the Hadoop FS API)."""
+    scheme = path.split(":", 1)[0] if ":" in path.split("/", 1)[0] else ""
+    if scheme not in ("", "file"):
+        return None
+    import os
+
+    root = path.split(":", 1)[1] if scheme else path
+    while root.startswith("//"):  # file:///x and file://x -> /x
+        root = root[1:]
+    return os.path.abspath(root)
+
+
 def list_data_files(spark: SparkSession, path: str) -> list[str]:
     """Recursive listing of the layout's DATA files (pure metadata op — no
     file is opened): every ``*.parquet`` whose path has no
@@ -120,14 +134,10 @@ def list_data_files(spark: SparkSession, path: str) -> list[str]:
     not py4j's; a real table format (Iceberg/Delta) replaces freshness
     listings with a snapshot pointer, which is the 100-TB design — this
     listing is the parquet stand-in's witness."""
-    scheme = path.split(":", 1)[0] if ":" in path.split("/", 1)[0] else ""
-    if scheme in ("", "file"):
+    root = _local_root(path)
+    if root is not None:
         import os
 
-        root = path.split(":", 1)[1] if scheme else path
-        while root.startswith("//"):  # file:///x and file://x -> /x
-            root = root[1:]
-        root = os.path.abspath(root)
         out = []
         for dirpath, dirnames, filenames in os.walk(root):
             dirnames[:] = [

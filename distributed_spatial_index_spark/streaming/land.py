@@ -14,18 +14,37 @@ The landed table is therefore query-consistent at every batch boundary:
 bucketed_point_range_join / pruned joins / knn_landed serve it with no
 staleness error mid-stream.
 
+Exactly-once: foreachBatch is an AT-LEAST-ONCE contract — after a crash
+Spark re-delivers the last in-flight batch — so a bare INSERT INTO would
+duplicate that batch's rows.  The guard here is the same idempotent-
+commit pattern Delta exposes as (txnAppId, txnVersion) and Iceberg
+carries in its snapshot summary: a ``_stream_commit`` marker at the
+table path records (ingest_id, batch_id) of the last landed batch,
+written via temp-file + atomic rename AFTER the insert; a re-delivered
+(same ingest_id, batch_id <= committed) batch is skipped.  ingest_id
+derives from the checkpoint location because that is exactly the domain
+in which Spark's batch ids are monotonic — a NEW checkpoint restarts
+ids at 0 and must NOT be skipped.  Residual honesty: insert and marker
+are two operations, so a crash BETWEEN them still duplicates that one
+batch on restart — closing that window needs the table format's atomic
+snapshot commit (data files + summary in one swap), which is precisely
+what this layout stands in for.  Single concurrent writer assumed, as
+in the table formats' default streaming-ingest topology.
+
 What this deliberately does NOT hide: each micro-batch appends up to
 n_buckets files per touched hive partition, so long streams need
-compaction (Iceberg's rewrite_data_files) — the parquet stand-in's
-answer is periodic re-landing via write_bucketed_points; the docstring
-of stream_land_points names the knob.  At the 100-TB design point the
-same structure holds with a table format doing snapshot commits instead
-of catalog INSERTs.
+compaction (Iceberg's rewrite_data_files) — plans/bucketing.py's
+compact_bucketed_table is the stand-in and carries the commit marker
+across the swap.  At the 100-TB design point the same structure holds
+with a table format doing snapshot commits instead of catalog INSERTs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from distributed_spatial_index_spark.config import (
@@ -39,36 +58,55 @@ from distributed_spatial_index_spark.plans.bucketing import (
     write_bucketed_points,
 )
 
+_COMMIT_FILE = "_stream_commit"
 
-def stream_land_points(
-    point_stream: DataFrame,
+
+def _commit_file(path: str) -> str:
+    from distributed_spatial_index_spark.sources.layout import _local_root
+
+    root = _local_root(path)
+    if root is None:
+        raise NotImplementedError(
+            "stream_land_points' idempotent-commit marker is the local-"
+            "filesystem stand-in for a table format's atomic snapshot "
+            "commit; land non-local paths through Iceberg/Delta"
+        )
+    return os.path.join(root, _COMMIT_FILE)
+
+
+def read_stream_commit(path: str) -> tuple[str, int] | None:
+    """(ingest_id, batch_id) of the last landed batch, or None."""
+    try:
+        with open(_commit_file(path)) as f:
+            d = json.load(f)
+        return d["ingest_id"], int(d["batch_id"])
+    except FileNotFoundError:
+        return None
+
+
+def write_stream_commit(path: str, ingest_id: str, batch_id: int) -> None:
+    """Record the landed batch via temp-file + atomic rename (POSIX
+    rename is atomic on one filesystem, so readers see old-or-new,
+    never a torn marker)."""
+    target = _commit_file(path)
+    tmp = f"{target}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"ingest_id": ingest_id, "batch_id": batch_id}, f)
+    os.replace(tmp, target)
+
+
+def make_land_fn(
     table: str,
     path: str,
-    checkpoint_dir: str,
+    ingest_id: str,
     n_buckets: int = 32,
     bits: int = JOIN_BITS,
     region: Region = DEFAULT_REGION,
     coarse_bits: int | None = None,
     with_manifest: bool = True,
-) -> StreamingQuery:
-    """Land ``point_stream`` (id, x, y, ...) into the unified bucketed
-    layout continuously.  Returns the started StreamingQuery (caller
-    awaits/stops it).
-
-    Batch 0 goes through write_bucketed_points — the SAME writer batch
-    ingest uses, so every layout invariant (bucket spec, sortBy
-    clustering, pcell partitioning, TBLPROPERTIES) has one
-    implementation.  Later batches `INSERT INTO` the catalog table
-    (Spark's bucketed insert keeps the bucket-file contract — verified
-    by the manifest's bucket-hash-vs-filename parity check) and then
-    incrementally manifest ONLY the new files, so the landed metadata
-    (pruning stats, knn density) stays fresh at every batch boundary.
-
-    Salted specs are refused: the salt requires the ingest-time hot-cell
-    list, and a stream's hot set drifts — re-land batch-wise when skew
-    handling is needed.  File-count growth is the stream's compaction
-    debt; re-land periodically (write_bucketed_points over the table)
-    exactly as a table format would compact."""
+):
+    """The foreachBatch body, exposed so tests can drive the at-least-
+    once contract directly (re-deliver a batch id, switch ingest ids)."""
 
     def land(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -79,6 +117,7 @@ def stream_land_points(
             )
             if with_manifest:
                 write_bucketed_manifest(spark, table)
+            write_stream_commit(path, ingest_id, batch_id)
             return
         from pyspark.sql import functions as F
 
@@ -113,6 +152,17 @@ def stream_land_points(
                 "appending would corrupt it"
             )
 
+        # the marker follows the table across a compaction swap: read and
+        # write it at the CURRENT dsi.path, not the stream's original arg
+        marker_path = spec.get("dsi.path", path)
+        committed = read_stream_commit(marker_path)
+        if (
+            committed is not None
+            and committed[0] == ingest_id
+            and batch_id <= committed[1]
+        ):
+            return  # at-least-once re-delivery of a landed batch
+
         df = batch.withColumn(
             "cell", cell_id_col(F.col("x"), F.col("y"), bits, region)
         )
@@ -125,9 +175,55 @@ def stream_land_points(
         df.select(*spark.table(table).columns).write.insertInto(table)
         if with_manifest:
             update_bucketed_manifest(spark, table)
+        write_stream_commit(marker_path, ingest_id, batch_id)
 
+    return land
+
+
+def stream_land_points(
+    point_stream: DataFrame,
+    table: str,
+    path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+    bits: int = JOIN_BITS,
+    region: Region = DEFAULT_REGION,
+    coarse_bits: int | None = None,
+    with_manifest: bool = True,
+) -> StreamingQuery:
+    """Land ``point_stream`` (id, x, y, ...) into the unified bucketed
+    layout continuously.  Returns the started StreamingQuery (caller
+    awaits/stops it).
+
+    Batch 0 goes through write_bucketed_points — the SAME writer batch
+    ingest uses, so every layout invariant (bucket spec, sortBy
+    clustering, pcell partitioning, TBLPROPERTIES) has one
+    implementation.  Later batches `INSERT INTO` the catalog table
+    (Spark's bucketed insert keeps the bucket-file contract — verified
+    by the manifest's bucket-hash-vs-filename parity check) and then
+    incrementally manifest ONLY the new files, so the landed metadata
+    (pruning stats, knn density) stays fresh at every batch boundary.
+    Batches re-delivered after a crash are skipped via the
+    ``_stream_commit`` marker (module docstring: the Delta
+    txnAppId/txnVersion pattern; ingest_id = the checkpoint location,
+    the domain in which Spark's batch ids are monotonic).
+
+    Salted specs are refused: the salt requires the ingest-time hot-cell
+    list, and a stream's hot set drifts — re-land batch-wise when skew
+    handling is needed.  File-count growth is the stream's compaction
+    debt; compact_bucketed_table pays it down exactly as a table format
+    would."""
+    from distributed_spatial_index_spark.sources.layout import _local_root
+
+    ingest_id = _local_root(checkpoint_dir) or checkpoint_dir
     return (
-        point_stream.writeStream.foreachBatch(land)
+        point_stream.writeStream.foreachBatch(
+            make_land_fn(
+                table, path, ingest_id, n_buckets=n_buckets, bits=bits,
+                region=region, coarse_bits=coarse_bits,
+                with_manifest=with_manifest,
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -92,6 +92,26 @@ def test_stream_landed_table_serves_all_landed_readers(spark):
             assert sorted(map(tuple, knn_landed(
                 spark, "t_land_pts", kq, k=3).collect())) == a
 
+            # the idempotent-commit marker follows the table across the
+            # swap: a post-compaction crash replay of the last batch
+            # (ids 0..2 for 3 chunks) must still be skipped
+            import os
+
+            from distributed_spatial_index_spark.streaming.land import (
+                make_land_fn,
+                read_stream_commit,
+            )
+
+            commit = read_stream_commit(f"{d}/pts_compact")
+            assert commit == (os.path.abspath(f"{d}/ckpt"), 2)
+            fn = make_land_fn(
+                "t_land_pts", f"{d}/pts", commit[0],
+                n_buckets=4, coarse_bits=2,
+            )
+            n_rows = spark.table("t_land_pts").count()
+            fn(pts.limit(5), 2)  # re-delivered batch: must be a no-op
+            assert spark.table("t_land_pts").count() == n_rows
+
             # restart against a different layout refuses loudly instead
             # of appending wrong cells (message surfaces through the
             # StreamingQueryException chain)
@@ -108,3 +128,42 @@ def test_stream_landed_table_serves_all_landed_readers(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_land_pts")
         spark.sql("DROP TABLE IF EXISTS t_land_qc")
+
+
+def test_stream_land_replayed_batch_is_skipped(spark):
+    """foreachBatch is at-least-once: a crash re-delivers the last batch.
+    The _stream_commit marker must make that re-delivery a no-op — and
+    must NOT suppress batch 0 of a genuinely new stream (new checkpoint
+    => new ingest_id => batch ids restart legitimately)."""
+    from distributed_spatial_index_spark.streaming.land import (
+        make_land_fn,
+        read_stream_commit,
+    )
+
+    pts = src.unique_geo_points(spark, SF_DIR, "lineitem").orderBy("id")
+    first, second, third = (
+        pts.limit(100), pts.offset(100).limit(100), pts.offset(200).limit(50)
+    )
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/pts"
+            fn = make_land_fn("t_land_replay", path, "ckptA", n_buckets=4)
+            fn(first, 0)
+            fn(second, 1)
+            n = spark.table("t_land_replay").count()
+            assert n == 200
+            assert read_stream_commit(path) == ("ckptA", 1)
+
+            # the at-least-once replay: same ingest, same batch id
+            fn(second, 1)
+            assert spark.table("t_land_replay").count() == n
+            assert read_stream_commit(path) == ("ckptA", 1)
+
+            # a NEW stream (new checkpoint) restarts batch ids at 0 and
+            # must not be mistaken for a replay
+            fn2 = make_land_fn("t_land_replay", path, "ckptB", n_buckets=4)
+            fn2(third, 0)
+            assert spark.table("t_land_replay").count() == n + 50
+            assert read_stream_commit(path) == ("ckptB", 0)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_land_replay")
