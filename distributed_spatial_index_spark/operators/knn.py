@@ -123,7 +123,7 @@ def knn_landed(
       once and multiplied by a power of two, so floor/clamp/interleave all
       commute with the shift), and
     * the round-1 radius comes from the COMMITTED per-cell density summary
-      (``<dsi.path>/_density``, written by write_bucketed_manifest in the
+      (the ``density`` artifact, committed by write_bucketed_manifest in the
       same pass as the manifest), rolled up from dsi.bits to ``bits`` by
       the same prefix — a <= 4^dsi.bits-row metadata read instead of a
       full-table aggregation.
@@ -162,10 +162,18 @@ def knn_landed(
             "land the table at finer bits or lower the routing bits"
         )
     path = spec["dsi.path"]
+    from distributed_spatial_index_spark.sources.metastore import (
+        meta_read,
+        meta_version,
+    )
+
     try:
-        man = spark.read.parquet(f"{path}/_manifest")
-        dens = spark.read.parquet(f"{path}/_density")
-    except Exception as exc:
+        # one pointer resolution serves both artifacts, so they come from
+        # the SAME committed version even mid-ingest (metastore.py)
+        v = meta_version(path)
+        man = meta_read(spark, path, "manifest", version=v)
+        dens = meta_read(spark, path, "density", version=v)
+    except ValueError as exc:
         raise ValueError(
             f"{points_table} has no committed manifest/density summary "
             "(write_bucketed_manifest) — knn_landed's whole point is the "

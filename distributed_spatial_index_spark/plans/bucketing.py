@@ -54,6 +54,10 @@ from distributed_spatial_index_spark.config import (
 from distributed_spatial_index_spark.functions.cells import cell_id_col
 from distributed_spatial_index_spark.functions.geometry import rect_contains_point
 from distributed_spatial_index_spark.operators.range_join import explode_query_cells
+from distributed_spatial_index_spark.sources.metastore import (
+    meta_commit,
+    meta_read,
+)
 
 
 def write_bucketed_points(
@@ -351,8 +355,9 @@ def _refine_dedup(pts, q, ps, eps):
 
 
 def write_bucketed_manifest(spark: SparkSession, table: str) -> None:
-    """Per-file manifest for a bucketed table, written to
-    ``<dsi.path>/_manifest``: (file_path, pcell?, bucket, cell_min,
+    """Per-file manifest for a bucketed table, committed atomically under
+    ``<dsi.path>/_meta`` via the versioned metadata pointer
+    (sources/metastore.py): (file_path, pcell?, bucket, cell_min,
     cell_max, n_rows).  ``bucket`` is recorded twice-independently — from
     the bucket-hash expression (pmod(hash(bucket_cols), n)) and parsed
     from Spark's bucket-file naming (``..._NNNNN.c000``) — and the write
@@ -363,7 +368,8 @@ def write_bucketed_manifest(spark: SparkSession, table: str) -> None:
     contract itself, not just the manifest.
 
     For ``kind='points'`` tables the same single table scan ALSO commits
-    the per-cell density summary ``<dsi.path>/_density`` (cell at
+    the per-cell density summary (committed in the SAME version as the
+    manifest, so the pair can never tear) — ``density``: (cell at
     dsi.bits, n) that knn_landed's round-1 radius reads — both metadata
     artifacts come from one pass (one (file, cell)-grained aggregation,
     two tiny rollups), so at ingest scale the table is read once, and
@@ -439,20 +445,14 @@ def write_bucketed_manifest(spark: SparkSession, table: str) -> None:
             "bucket-file naming — the table was not written by "
             "write_bucketed_*, or the bucket-hash parity assumption broke"
         )
-    (
-        man.drop("_bmax", "_bname")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{spec['dsi.path']}/_manifest")
-    )
+    artifacts = {"manifest": man.drop("_bmax", "_bname").coalesce(1)}
     if spec.get("dsi.kind") == "points":
-        (
-            per.groupBy("cell")
-            .agg(F.sum("n").alias("n"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{spec['dsi.path']}/_density")
+        artifacts["density"] = (
+            per.groupBy("cell").agg(F.sum("n").alias("n")).coalesce(1)
         )
+    # one atomic commit for BOTH artifacts (sources/metastore.py): a
+    # reader can never pair a fresh manifest with a stale density
+    meta_commit(spec["dsi.path"], artifacts)
     per.unpersist()
 
 
@@ -550,8 +550,8 @@ def update_bucketed_manifest(spark: SparkSession, table: str) -> int:
         )
     path = spec["dsi.path"]
     try:
-        man = spark.read.parquet(f"{path}/_manifest")
-    except Exception as exc:
+        man = meta_read(spark, path, "manifest")
+    except ValueError as exc:
         raise ValueError(
             f"{table} has no manifest to update; run "
             "write_bucketed_manifest first"
@@ -624,6 +624,7 @@ def update_bucketed_manifest(spark: SparkSession, table: str) -> int:
         )
         span = man_new.filter(F.col("pcell") != F.col("_pmax")).count()
         if span:
+            per.unpersist()
             raise ValueError(
                 f"{span} new file(s) of {table} span hive partitions — "
                 "not written by this layout's writers"
@@ -641,26 +642,23 @@ def update_bucketed_manifest(spark: SparkSession, table: str) -> int:
             "with the bucket-file naming — the append was not written "
             "through the table (INSERT INTO), or parity broke"
         )
-    # materialize BOTH merged frames before overwriting the paths they
-    # read from (localCheckpoint cuts the lineage back to the old files)
-    man_all = (
-        man.unionByName(man_new.drop("_bmax", "_bname"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    dens_all = None
+    # merged frames READ the old version and COMMIT as a new one
+    # (sources/metastore.py): read-what-you-overwrite is impossible by
+    # construction, and manifest+density swap atomically as a pair
+    artifacts = {
+        "manifest": man.unionByName(
+            man_new.drop("_bmax", "_bname")
+        ).coalesce(1)
+    }
     if spec.get("dsi.kind") == "points":
-        dens_all = (
-            spark.read.parquet(f"{path}/_density")
+        artifacts["density"] = (
+            meta_read(spark, path, "density")
             .unionByName(per.groupBy("cell").agg(F.sum("n").alias("n")))
             .groupBy("cell")
             .agg(F.sum("n").alias("n"))
             .coalesce(1)
-            .localCheckpoint(eager=True)
         )
-    man_all.write.mode("overwrite").parquet(f"{path}/_manifest")
-    if dens_all is not None:
-        dens_all.write.mode("overwrite").parquet(f"{path}/_density")
+    meta_commit(path, artifacts)
     per.unpersist()
     return len(new)
 
@@ -763,14 +761,13 @@ def pruned_bucketed_point_range_join(
         "fine_pruned": fine_ok,
         "coarse_pruned": coarse is not None,
     }
-    man_path = (
-        f"{ps['dsi.path']}/_manifest"
-        if with_stats and "dsi.path" in ps
-        else None
-    )
     try:
-        man = spark.read.parquet(man_path) if man_path else None
-    except Exception:
+        man = (
+            meta_read(spark, ps["dsi.path"], "manifest")
+            if with_stats and "dsi.path" in ps
+            else None
+        )
+    except ValueError:
         man = None
     if man is not None:
         # same freshness discipline as sources/layout.py: a data file the

@@ -77,9 +77,12 @@ def write_manifest(spark: SparkSession, path: str) -> None:
     """Build the per-file manifest for a write_cell_layout table: one scan
     of the layout's fcell column grouped by ``_metadata.file_path`` (the
     stand-in for Iceberg reading parquet footer stats at commit time);
-    written next to the data as ``<path>/_manifest``."""
+    committed atomically under ``<path>/_meta`` via the versioned
+    metadata pointer (sources/metastore.py)."""
+    from distributed_spatial_index_spark.sources.metastore import meta_commit
+
     df = spark.read.parquet(path)
-    (
+    man = (
         df.groupBy(
             F.col("_metadata.file_path").alias("file_path"), F.col("pcell")
         )
@@ -89,13 +92,14 @@ def write_manifest(spark: SparkSession, path: str) -> None:
             F.count(F.lit(1)).alias("n_rows"),
         )
         .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/_manifest")
     )
+    meta_commit(path, {"manifest": man})
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(f"{path}/_manifest")
+    from distributed_spatial_index_spark.sources.metastore import meta_read
+
+    return meta_read(spark, path, "manifest")
 
 
 def _norm_file_path(p: str) -> str:
@@ -218,7 +222,7 @@ def manifest_select_files(
         unknown = [f for f in list_data_files(spark, path) if f not in known]
         if unknown:
             raise ValueError(
-                f"manifest at {path}/_manifest is stale: "
+                f"committed manifest of {path} is stale: "
                 f"{len(unknown)} data file(s) are not in the manifest "
                 f"(e.g. {unknown[0]}); re-run write_manifest after "
                 "appending to the layout"

@@ -418,13 +418,15 @@ def test_incremental_manifest_update_equals_full_rewrite(spark):
     pts = src.geo_points(spark, SF_DIR, "lineitem")
     qs = src.range_queries(spark, SF_DIR, "lineitem").limit(3)
 
+    from distributed_spatial_index_spark.sources.metastore import meta_read
+
     def snap(path):
         man = sorted(
-            map(tuple, spark.read.parquet(f"{path}/_manifest")
+            map(tuple, meta_read(spark, path, "manifest")
                 .drop("file_path").collect())
         )
         dens = sorted(
-            map(tuple, spark.read.parquet(f"{path}/_density").collect())
+            map(tuple, meta_read(spark, path, "density").collect())
         )
         return man, dens
 
@@ -461,7 +463,7 @@ def test_incremental_manifest_update_equals_full_rewrite(spark):
                 _norm_file_path,
             )
 
-            victim = spark.read.parquet(f"{d}/pts/_manifest").select(
+            victim = meta_read(spark, f"{d}/pts", "manifest").select(
                 "file_path").first()["file_path"]
             os.remove("/" + _norm_file_path(victim))
             with pytest.raises(ValueError, match="no longer exist"):
