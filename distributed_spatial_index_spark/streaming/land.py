@@ -57,6 +57,7 @@ from distributed_spatial_index_spark.plans.bucketing import (
     write_bucketed_manifest,
     write_bucketed_points,
 )
+from distributed_spatial_index_spark.sources.metastore import meta_vacuum
 
 _COMMIT_FILE = "_stream_commit"
 
@@ -104,9 +105,19 @@ def make_land_fn(
     region: Region = DEFAULT_REGION,
     coarse_bits: int | None = None,
     with_manifest: bool = True,
+    meta_keep: int = 4,
 ):
     """The foreachBatch body, exposed so tests can drive the at-least-
-    once contract directly (re-deliver a batch id, switch ingest ids)."""
+    once contract directly (re-deliver a batch id, switch ingest ids).
+
+    ``meta_keep``: every manifested micro-batch commits one new metadata
+    version (sources/metastore.py), so a long stream would otherwise
+    accumulate one version dir per batch — unbounded metadata debt.
+    Each batch therefore vacuums down to the newest ``meta_keep``
+    versions, which bounds the debt while still giving concurrent
+    readers ``meta_keep - 1`` whole micro-batch intervals to finish
+    against the version they resolved (Iceberg's snapshot-expiration
+    retention knob, applied per commit)."""
 
     def land(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -175,6 +186,7 @@ def make_land_fn(
         df.select(*spark.table(table).columns).write.insertInto(table)
         if with_manifest:
             update_bucketed_manifest(spark, table)
+            meta_vacuum(marker_path, keep=meta_keep)
         write_stream_commit(marker_path, ingest_id, batch_id)
 
     return land
@@ -190,6 +202,7 @@ def stream_land_points(
     region: Region = DEFAULT_REGION,
     coarse_bits: int | None = None,
     with_manifest: bool = True,
+    meta_keep: int = 4,
 ) -> StreamingQuery:
     """Land ``point_stream`` (id, x, y, ...) into the unified bucketed
     layout continuously.  Returns the started StreamingQuery (caller
@@ -221,7 +234,7 @@ def stream_land_points(
             make_land_fn(
                 table, path, ingest_id, n_buckets=n_buckets, bits=bits,
                 region=region, coarse_bits=coarse_bits,
-                with_manifest=with_manifest,
+                with_manifest=with_manifest, meta_keep=meta_keep,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -167,3 +167,50 @@ def test_stream_land_replayed_batch_is_skipped(spark):
             assert read_stream_commit(path) == ("ckptB", 0)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_land_replay")
+
+
+def test_stream_metadata_debt_is_bounded(spark):
+    """Every manifested micro-batch commits one new metadata version;
+    without retention a long stream accumulates one version dir per
+    batch.  meta_keep bounds it: after a 5-chunk replay at meta_keep=2
+    only the newest 2 versions remain, the pointer resolves, and the
+    landed readers still serve fresh consistent metadata."""
+    import os
+
+    from distributed_spatial_index_spark.sources.metastore import (
+        meta_version,
+    )
+
+    pts = src.unique_geo_points(spark, SF_DIR, "lineitem").limit(500)
+    qs = src.range_queries(spark, SF_DIR, "lineitem").limit(5)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            q = stream_land_points(
+                _chunked_stream(spark, pts, d, n_chunks=5), "t_debt_pts",
+                f"{d}/pts", f"{d}/ckpt", n_buckets=2, meta_keep=2,
+            )
+            q.awaitTermination(300)
+            assert not q.isActive and q.exception() is None
+
+            # 5 batches committed 5 versions; retention kept the last 2
+            v = meta_version(f"{d}/pts")
+            assert v == 5
+            assert sorted(os.listdir(f"{d}/pts/_meta")) == [
+                "v000004", "v000005",
+            ]
+
+            write_bucketed_query_cells(qs, "t_debt_qc", f"{d}/qc",
+                                       n_buckets=2)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            sel = pruned_bucketed_point_range_join(
+                spark, "t_debt_pts", "t_debt_qc"
+            )
+            assert sel.prune_stats["files_total"] > 0  # manifest fresh
+            assert sorted(map(tuple, sel.collect())) == sorted(
+                map(tuple, point_range_join(pts, qs).collect())
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_debt_pts")
+        spark.sql("DROP TABLE IF EXISTS t_debt_qc")
