@@ -86,11 +86,18 @@ def test_landed_points_salts_from_committed_density(spark):
             assert _rows(out) == _rows(point_range_join(pts, qs))
 
             # never-manifested landed table: falls back to aggregating,
-            # same answers
+            # same answers (dsi.path now points at a layout with no
+            # committed metadata; the table's own location is untouched)
             spark.sql(
                 "ALTER TABLE t_dsp_lp SET TBLPROPERTIES "
                 f"('dsi.path'='{d}/fresh')"
             )
+            out2 = point_range_join_auto(
+                spark, "t_dsp_lp", qs, broadcast_rows=0, skew_factor=1
+            )
+            assert out2.join_plan["regime"] == "salted"
+            assert "density aggregation" in out2.join_plan["evidence"]
+            assert _rows(out2) == _rows(point_range_join(pts, qs))
     finally:
         spark.sql("DROP TABLE IF EXISTS t_dsp_lp")
 
