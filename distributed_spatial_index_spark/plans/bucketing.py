@@ -244,6 +244,103 @@ def _set_spec(spark, table, *, bits, n_buckets, hot, n_salt, eps, region,
         props["dsi.path"] = path
     kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+    if path is not None:
+        _write_spec_file(spark, table, path, props)
+
+
+def _write_spec_file(spark, table: str, path: str, props: dict) -> None:
+    """Persist the serving spec NEXT TO THE DATA (``<path>/_spec``, atomic
+    temp + rename): the catalog entry is session-scoped, so without this
+    the data and manifest outlive the session but nothing can re-serve
+    them — the table-format principle is that the catalog is a cache and
+    the table's own metadata is the source of truth.
+    attach_bucketed_table rebuilds the catalog entry from this file."""
+    import json as _json
+    import os as _os
+
+    from distributed_spatial_index_spark.sources.metastore import _root
+
+    cat = spark.table(table)
+    bucket_cols = ["cell", "salt"] if props["dsi.salted"] == "1" else ["cell"]
+    doc = {
+        "props": props,
+        "columns": [(f.name, f.dataType.simpleString())
+                    for f in cat.schema.fields],
+        "n_buckets": int(props["dsi.n_buckets"]),
+        "bucket_cols": bucket_cols,
+        "partition_cols": (["pcell"] if "dsi.coarse_bits" in props else []),
+    }
+    target = _os.path.join(_root(path), "_spec")
+    tmp = f"{target}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump(doc, f)
+    _os.replace(tmp, target)
+
+
+def attach_bucketed_table(spark: SparkSession, table: str, path: str) -> None:
+    """Re-create the catalog entry for a landed bucketed table from the
+    ``_spec`` file persisted at its path — the missing half of "the data
+    outlives the session": a NEW session (or a session that lost its
+    in-memory catalog) points this at the layout and every landed reader
+    (bucketed/pruned joins, knn_landed, streaming append) serves it again
+    with the exact ingest-time spec; no re-ingest, no re-shuffle.  This
+    is the parquet stand-in for a table format's catalog registration
+    (the snapshot pointer, not the catalog, is the source of truth).
+
+    Refuses an existing catalog name loudly (attach is registration, not
+    replacement — drop first if that is meant).  A RELOCATED layout
+    attaches and joins fine (dsi.path is updated to the attach path),
+    but its manifest records the ingest-time absolute file paths, so the
+    freshness check fails LOUDLY until write_bucketed_manifest re-commits
+    — the same rewrite Iceberg needs after a path migration."""
+    import json as _json
+    import os as _os
+
+    from distributed_spatial_index_spark.sources.metastore import _root
+
+    if spark.catalog.tableExists(table):
+        raise ValueError(
+            f"table {table} already exists in the catalog; attach "
+            "registers a NEW name — drop the existing entry first if "
+            "replacement is intended"
+        )
+    spec_file = _os.path.join(_root(path), "_spec")
+    try:
+        with open(spec_file) as f:
+            doc = _json.load(f)
+    except FileNotFoundError as exc:
+        raise ValueError(
+            f"{path} carries no _spec file — not a landed bucketed "
+            "layout (or written before spec persistence); re-land it "
+            "with write_bucketed_*"
+        ) from exc
+    cols = ", ".join(f"{n} {t}" for n, t in doc["columns"])
+    bcols = ", ".join(doc["bucket_cols"])
+    ddl = (
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"OPTIONS (path '{path}') "
+    )
+    if doc["partition_cols"]:
+        ddl += f"PARTITIONED BY ({', '.join(doc['partition_cols'])}) "
+    ddl += (
+        f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+        f"INTO {doc['n_buckets']} BUCKETS"
+    )
+    spark.sql(ddl)
+    if doc["partition_cols"]:
+        # discover the hive partition directories (Iceberg needs no such
+        # step — partitions live in its metadata; this is the parquet
+        # stand-in's explicit recovery)
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+    props = dict(doc["props"])
+    # the layout may have been relocated since it was written: the attach
+    # path, not the recorded one, is where the data (and the manifest
+    # pointer, and the stream-commit marker) now live
+    props["dsi.path"] = path
+    kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+    if props != doc["props"]:
+        _write_spec_file(spark, table, path, props)
 
 
 def _get_spec(spark, table: str) -> dict[str, str]:
@@ -508,6 +605,9 @@ def compact_bucketed_table(
     props["dsi.path"] = new_path
     kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+    # the attach contract follows the table across the swap too: the new
+    # path must be self-describing without the (session-scoped) catalog
+    _write_spec_file(spark, table, new_path, props)
     write_bucketed_manifest(spark, table)
     # a stream-landed table's idempotent-commit marker must survive the
     # swap, or a post-compaction crash replay would re-insert its batch

@@ -471,3 +471,89 @@ def test_incremental_manifest_update_equals_full_rewrite(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_inc_pts")
         spark.sql("DROP TABLE IF EXISTS t_inc_qc")
+
+
+def test_attach_bucketed_table_after_catalog_loss(spark):
+    """The catalog is a cache; the layout's own _spec file is the source
+    of truth.  After the session catalog entry is gone (new session /
+    DROP), attach_bucketed_table re-registers the table from disk and
+    EVERY landed reader and writer serves it again with the exact
+    ingest-time spec — zero-Exchange join, pruned stats, knn_landed,
+    streaming append — with no re-ingest."""
+    import os
+
+    import pytest
+
+    from distributed_spatial_index_spark.operators.knn import knn, knn_landed
+    from distributed_spatial_index_spark.plans.bucketing import (
+        attach_bucketed_table,
+        pruned_bucketed_point_range_join,
+        write_bucketed_manifest,
+    )
+    from distributed_spatial_index_spark.streaming.land import make_land_fn
+
+    pts = src.unique_geo_points(spark, SF_DIR, "lineitem")
+    qs = src.range_queries(spark, SF_DIR, "lineitem")
+    kq = src.knn_queries(spark, SF_DIR, "lineitem").limit(5)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            write_bucketed_points(
+                pts, "t_att_pts", f"{d}/pts", n_buckets=4, coarse_bits=2
+            )
+            write_bucketed_manifest(spark, "t_att_pts")
+            write_bucketed_query_cells(qs, "t_att_qc", f"{d}/qc", n_buckets=4)
+            expect = sorted(map(tuple, point_range_join(pts, qs).collect()))
+
+            # attach refuses an existing catalog name (registration, not
+            # replacement)
+            with pytest.raises(ValueError, match="already exists"):
+                attach_bucketed_table(spark, "t_att_pts", f"{d}/pts")
+
+            # catalog loss: entries dropped, data + metadata stay on disk
+            spark.sql("DROP TABLE t_att_pts")
+            spark.sql("DROP TABLE t_att_qc")
+            assert os.path.exists(f"{d}/pts/_spec")
+
+            attach_bucketed_table(spark, "t_att_pts", f"{d}/pts")
+            attach_bucketed_table(spark, "t_att_qc", f"{d}/qc")
+
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = bucketed_point_range_join(spark, "t_att_pts", "t_att_qc")
+            assert count_exchanges(out) == 1  # result dedup only
+            assert sorted(map(tuple, out.collect())) == expect
+
+            sel = pruned_bucketed_point_range_join(
+                spark, "t_att_pts", "t_att_qc"
+            )
+            assert sel.prune_stats["files_total"] > 0
+            assert sorted(map(tuple, sel.collect())) == expect
+
+            a = sorted(map(tuple, knn_landed(
+                spark, "t_att_pts", kq, k=3).collect()))
+            assert a == sorted(map(tuple, knn(pts, kq, k=3).collect()))
+
+            # the streaming writer also serves the attached table: an
+            # append through make_land_fn lands, repairs the manifest
+            # incrementally, and commits the marker
+            n0 = spark.table("t_att_pts").count()
+            fn = make_land_fn(
+                "t_att_pts", f"{d}/pts", "att-ingest",
+                n_buckets=4, coarse_bits=2,
+            )
+            fn(pts.limit(7), 0)
+            assert spark.table("t_att_pts").count() == n0 + 7
+            sel2 = pruned_bucketed_point_range_join(
+                spark, "t_att_pts", "t_att_qc"
+            )
+            assert sel2.prune_stats["files_total"] > sel.prune_stats[
+                "files_total"
+            ]  # manifest repaired incrementally, still fresh
+
+            # a path with no _spec refuses loudly
+            with pytest.raises(ValueError, match="no _spec"):
+                attach_bucketed_table(spark, "t_att_none", f"{d}/empty")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_att_pts")
+        spark.sql("DROP TABLE IF EXISTS t_att_qc")
