@@ -364,7 +364,16 @@ def pip_join(
     }
     bc = spark.sparkContext.broadcast(polys)
 
-    qcells = _classified_query_cells_df(polygons, bc, bits, region)
+    # lazy localCheckpoint: qcells feeds BOTH union branches below, and
+    # Catalyst pushes each branch's (interior / ~interior) filter into its
+    # own BroadcastExchange subtree — no ReusedExchange — so without the
+    # barrier the Arrow-batched classification (and the polygon-table
+    # scan under it) runs twice per action.  The frame is metadata-scale
+    # (covering cells of the polygon bboxes), so checkpointing it is
+    # cheap and the classify runs once.  Measured plan: MapInPandas 3 -> 2.
+    qcells = _classified_query_cells_df(
+        polygons, bc, bits, region
+    ).localCheckpoint(eager=False)
 
     pts = points.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
     cand = pts.join(F.broadcast(qcells), "cell")
