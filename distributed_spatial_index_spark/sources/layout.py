@@ -128,7 +128,8 @@ def _local_root(path: str) -> str | None:
 def list_data_files(spark: SparkSession, path: str) -> list[str]:
     """Recursive listing of the layout's DATA files (pure metadata op — no
     file is opened): every ``*.parquet`` whose path has no
-    underscore-prefixed segment (``_manifest``, ``_SUCCESS`` are metadata,
+    underscore-prefixed segment (``_meta``, ``_SUCCESS``, ``_spec`` are
+    metadata,
     exactly the files a Spark scan would skip).
 
     Local paths walk in-process: the Hadoop ``listFiles`` iterator costs
