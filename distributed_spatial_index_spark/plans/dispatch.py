@@ -84,6 +84,7 @@ def point_range_join_auto(
     )
     from distributed_spatial_index_spark.plans.bucketing import (
         _get_spec,
+        _region_fingerprint,
         bucketed_point_range_join,
     )
     from distributed_spatial_index_spark.plans.partitioning import (
@@ -116,7 +117,17 @@ def point_range_join_auto(
                 "the doc side must be a points table"
             )
         tbits = int(spec["dsi.bits"])
-        if bits <= tbits and "dsi.path" in spec:
+        # The committed density's cell ids live in the TABLE's region; a
+        # caller joining under a different region derives incomparable
+        # cell ids, so the summary would size the hot set in the wrong
+        # space (results stay exact — salting is semantics-free — but the
+        # skew guard would silently do nothing).  Fall back to the live
+        # aggregation unless the regions fingerprint-match.
+        if (
+            bits <= tbits
+            and "dsi.path" in spec
+            and spec.get("dsi.region") == _region_fingerprint(region)
+        ):
             from distributed_spatial_index_spark.sources.metastore import (
                 meta_read,
             )

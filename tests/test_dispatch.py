@@ -85,6 +85,29 @@ def test_landed_points_salts_from_committed_density(spark):
             assert out.join_plan["n_hot_cells"] > 0
             assert _rows(out) == _rows(point_range_join(pts, qs))
 
+            # region-mismatched caller: the committed density's cell ids
+            # live in the table's region, so the summary must NOT feed a
+            # join under a different region — falls back to aggregating,
+            # same answers (salting never changes results)
+            from distributed_spatial_index_spark.config import (
+                DEFAULT_REGION,
+                Region,
+            )
+
+            other = Region(
+                DEFAULT_REGION.x_lo, DEFAULT_REGION.y_lo,
+                DEFAULT_REGION.x_hi + 1.0, DEFAULT_REGION.y_hi,
+            )
+            out_r = point_range_join_auto(
+                spark, "t_dsp_lp", qs, broadcast_rows=0, skew_factor=1,
+                region=other,
+            )
+            assert out_r.join_plan["regime"] == "salted"
+            assert "density aggregation" in out_r.join_plan["evidence"]
+            assert _rows(out_r) == _rows(
+                point_range_join(pts, qs, region=other)
+            )
+
             # never-manifested landed table: falls back to aggregating,
             # same answers (dsi.path now points at a layout with no
             # committed metadata; the table's own location is untouched)
