@@ -357,6 +357,11 @@ def incremental_near_dup_pairs(
         .select("a", "b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
+    # answer-sized: materialize so the candidate-shingle cache is released
+    # before returning (minhash_lsh_pairs' discipline)
+    out = out.persist()
+    out.count()
+    sh.unpersist()
     out.index_stats = {
         "new_bucket_rows_broadcast": small,
         "max_bucket": max_bucket,

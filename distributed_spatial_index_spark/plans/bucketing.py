@@ -537,6 +537,7 @@ def write_bucketed_manifest(spark: SparkSession, table: str) -> None:
         | (F.col("bucket") != F.col("_bname"))
     ).count()
     if bad:
+        per.unpersist()
         raise ValueError(
             f"{bad} file(s) of {table} mix bucket ids or disagree with the "
             "bucket-file naming — the table was not written by "
