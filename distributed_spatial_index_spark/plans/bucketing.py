@@ -477,6 +477,14 @@ def write_bucketed_manifest(spark: SparkSession, table: str) -> None:
             f"table {table} records no dsi.path; rewrite it with the "
             "current write_bucketed_* functions"
         )
+    from distributed_spatial_index_spark.plans.delete import (
+        assert_no_pending_delete,
+    )
+
+    # a crashed copy-on-write delete leaves retained-row copies beside
+    # the originals; manifesting that state would double-count — refuse
+    # until resume_bucketed_delete settles it
+    assert_no_pending_delete(table, spec["dsi.path"])
     n = int(spec["dsi.n_buckets"])
     # drop the cached file index: files INSERTed (or illegitimately
     # appended) since the table was last planned must be manifested
@@ -650,6 +658,14 @@ def update_bucketed_manifest(spark: SparkSession, table: str) -> int:
             "current write_bucketed_* functions"
         )
     path = spec["dsi.path"]
+    from distributed_spatial_index_spark.plans.delete import (
+        assert_no_pending_delete,
+    )
+
+    # same double-count guard as write_bucketed_manifest: a crashed
+    # delete's retained-row copies must not be merged while the original
+    # files still hold the same rows
+    assert_no_pending_delete(table, path)
     try:
         man = meta_read(spark, path, "manifest")
     except ValueError as exc:
@@ -673,13 +689,54 @@ def update_bucketed_manifest(spark: SparkSession, table: str) -> int:
     if not new:
         return 0
 
+    per, man_new = _stats_for_files(
+        spark, spec, table, new, pcell_type=dict(man.dtypes).get("pcell")
+    )
+    # merged frames READ the old version and COMMIT as a new one
+    # (sources/metastore.py): read-what-you-overwrite is impossible by
+    # construction, and manifest+density swap atomically as a pair
+    artifacts = {"manifest": man.unionByName(man_new).coalesce(1)}
+    if spec.get("dsi.kind") == "points":
+        artifacts["density"] = (
+            meta_read(spark, path, "density")
+            .unionByName(per.groupBy("cell").agg(F.sum("n").alias("n")))
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"))
+            .coalesce(1)
+        )
+    meta_commit(path, artifacts)
+    per.unpersist()
+    return len(new)
+
+
+def _stats_for_files(
+    spark: SparkSession,
+    spec: dict[str, str],
+    table: str,
+    files: list[str],
+    pcell_type: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(file, cell)-grained stats and parity-checked per-file manifest
+    rows for an EXPLICIT list of data files (normalized paths, as returned
+    by list_data_files).  Shared by incremental manifest maintenance
+    (update_bucketed_manifest) and the copy-on-write delete
+    (plans/delete.py), so the pollution checks — bucket-hash vs filename
+    parity, mixed-bucket files, files spanning hive partitions — have ONE
+    implementation.  Returns ``(per, man_rows)``: ``per`` is the persisted
+    (file, cell) pre-aggregation (it also feeds the density merge; the
+    caller unpersists it), ``man_rows`` matches the committed manifest
+    schema.  ``pcell_type`` is the existing manifest's pcell dtype
+    (required for coarse-partitioned specs so merged column types agree —
+    the hive partition value is not stored inside the files; it is the
+    exact integer prefix of the cell, derived here and REQUIRED to be
+    shared by the whole file)."""
     n = int(spec["dsi.n_buckets"])
     bucket_cols = (
         ["cell", "salt"] if spec["dsi.salted"] == "1" else ["cell"]
     )
     # normalized paths are scheme-stripped; this engine's layouts are
     # local-or-one-scheme, so a leading slash restores a readable path
-    df = spark.read.parquet(*[f"/{f}" for f in new])
+    df = spark.read.parquet(*[f"/{f}" for f in files])
     per = (
         df.groupBy(
             F.col("_metadata.file_path").alias("file_path"), F.col("cell")
@@ -692,7 +749,7 @@ def update_bucketed_manifest(spark: SparkSession, table: str) -> int:
         .persist()
     )
     per.count()
-    man_new = (
+    man_rows = (
         per.groupBy("file_path")
         .agg(
             F.min("_bmin").alias("bucket"),
@@ -710,28 +767,22 @@ def update_bucketed_manifest(spark: SparkSession, table: str) -> int:
         )
     )
     if "dsi.coarse_bits" in spec:
-        # the hive partition value is not stored inside the files; it is
-        # the exact integer prefix of the cell, so derive it and REQUIRE
-        # the whole file to share it (a file spanning partitions is the
-        # same pollution class as a mixed-bucket file)
         shift = 2 * (int(spec["dsi.bits"]) - int(spec["dsi.coarse_bits"]))
-        man_new = man_new.withColumn(
+        man_rows = man_rows.withColumn(
             "pcell",
-            F.shiftright(F.col("cell_min"), shift).cast(
-                dict(man.dtypes)["pcell"]
-            ),
+            F.shiftright(F.col("cell_min"), shift).cast(pcell_type),
         ).withColumn(
             "_pmax", F.shiftright(F.col("cell_max"), shift)
         )
-        span = man_new.filter(F.col("pcell") != F.col("_pmax")).count()
+        span = man_rows.filter(F.col("pcell") != F.col("_pmax")).count()
         if span:
             per.unpersist()
             raise ValueError(
-                f"{span} new file(s) of {table} span hive partitions — "
+                f"{span} file(s) of {table} span hive partitions — "
                 "not written by this layout's writers"
             )
-        man_new = man_new.drop("_pmax")
-    bad = man_new.filter(
+        man_rows = man_rows.drop("_pmax")
+    bad = man_rows.filter(
         F.col("_bname").isNull()
         | (F.col("bucket") != F.col("_bmax"))
         | (F.col("bucket") != F.col("_bname"))
@@ -739,29 +790,12 @@ def update_bucketed_manifest(spark: SparkSession, table: str) -> int:
     if bad:
         per.unpersist()
         raise ValueError(
-            f"{bad} new file(s) of {table} mix bucket ids or disagree "
-            "with the bucket-file naming — the append was not written "
-            "through the table (INSERT INTO), or parity broke"
+            f"{bad} file(s) of {table} mix bucket ids or disagree with "
+            "the bucket-file naming — not written through the table's "
+            "bucketed writers (INSERT INTO / write_bucketed_*), or the "
+            "bucket-hash parity assumption broke"
         )
-    # merged frames READ the old version and COMMIT as a new one
-    # (sources/metastore.py): read-what-you-overwrite is impossible by
-    # construction, and manifest+density swap atomically as a pair
-    artifacts = {
-        "manifest": man.unionByName(
-            man_new.drop("_bmax", "_bname")
-        ).coalesce(1)
-    }
-    if spec.get("dsi.kind") == "points":
-        artifacts["density"] = (
-            meta_read(spark, path, "density")
-            .unionByName(per.groupBy("cell").agg(F.sum("n").alias("n")))
-            .groupBy("cell")
-            .agg(F.sum("n").alias("n"))
-            .coalesce(1)
-        )
-    meta_commit(path, artifacts)
-    per.unpersist()
-    return len(new)
+    return per, man_rows.drop("_bmax", "_bname")
 
 
 def assert_manifest_fresh(
