@@ -748,7 +748,6 @@ def _stats_for_files(
         )
         .persist()
     )
-    per.count()
     man_rows = (
         per.groupBy("file_path")
         .agg(
@@ -774,7 +773,20 @@ def _stats_for_files(
         ).withColumn(
             "_pmax", F.shiftright(F.col("cell_max"), shift)
         )
-        span = man_rows.filter(F.col("pcell") != F.col("_pmax")).count()
+    # ONE action: collect the per-file rows (<= len(files) of them — the
+    # same driver-side scale every manifest op here accepts) and run the
+    # pollution checks in Python; the collect also materializes the
+    # persisted ``per``.  This matters per STREAMING micro-batch: the
+    # check-as-count formulation was three sequential tiny-data jobs, and
+    # job scheduling — not data — dominated the incremental repair.  The
+    # RETURNED frame stays the JVM-side derivation over the cached
+    # ``per`` (NOT a re-created local frame: a createDataFrame relation
+    # is a Python-partition-backed RDD, and a downstream coalesce(1)
+    # commit pulls each of its partitions through a Python-worker
+    # round-trip — measured ~5 s per action on a 128-row manifest).
+    rows = man_rows.collect()
+    if "dsi.coarse_bits" in spec:
+        span = sum(1 for r in rows if r["pcell"] != r["_pmax"])
         if span:
             per.unpersist()
             raise ValueError(
@@ -782,11 +794,13 @@ def _stats_for_files(
                 "not written by this layout's writers"
             )
         man_rows = man_rows.drop("_pmax")
-    bad = man_rows.filter(
-        F.col("_bname").isNull()
-        | (F.col("bucket") != F.col("_bmax"))
-        | (F.col("bucket") != F.col("_bname"))
-    ).count()
+    bad = sum(
+        1
+        for r in rows
+        if r["_bname"] is None
+        or r["bucket"] != r["_bmax"]
+        or r["bucket"] != r["_bname"]
+    )
     if bad:
         per.unpersist()
         raise ValueError(

@@ -162,6 +162,17 @@ def delete_from_bucketed_table(
         if _fail_after == step:
             raise RuntimeError(f"injected crash after {step}")
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    timings: dict[str, float] = {}
+
+    def _mark(step: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        timings[step] = round(now - _t0, 3)
+        _t0 = now
+
     spec = _get_spec(spark, table)
     if "dsi.path" not in spec:
         raise ValueError(
@@ -184,11 +195,12 @@ def delete_from_bucketed_table(
     except ValueError:
         pass
     listing = list_data_files(spark, path)
+    known_raw: set[str] = set()
     if man is not None:
-        known = {
-            _norm_file_path(r["file_path"])
-            for r in man.select("file_path").collect()
+        known_raw = {
+            r["file_path"] for r in man.select("file_path").collect()
         }
+        known = {_norm_file_path(f) for f in known_raw}
         if known != set(listing):
             raise ValueError(
                 f"manifest of {table} is not exactly fresh "
@@ -199,6 +211,7 @@ def delete_from_bucketed_table(
                 "manifest and the data agree"
             )
 
+    _mark("preflight")
     # 1. PLAN: one scan of the matched rows.  localCheckpoint (not
     # persist): the density decrement in step 6 reads this AFTER the
     # matched files are unlinked, so a cache eviction must not be able
@@ -210,12 +223,15 @@ def delete_from_bucketed_table(
             F.col("_metadata.file_path").alias("file_path"), F.col("cell")
         )
         .agg(F.count(F.lit(1)).alias("n_del"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    affected_raw = sorted(
-        r["file_path"]
-        for r in per.select("file_path").distinct().collect()
+    # one action plans everything: the lazy checkpoint materializes under
+    # this per-file rollup, which carries both the affected set and the
+    # deleted-row total (<= len(files) rows on the driver)
+    fstats = (
+        per.groupBy("file_path").agg(F.sum("n_del").alias("n_del")).collect()
     )
+    affected_raw = sorted(r["file_path"] for r in fstats)
     if not affected_raw:
         return {
             "files_rewritten": 0,
@@ -224,10 +240,9 @@ def delete_from_bucketed_table(
             "meta_version": meta_version(path),
         }
     affected_norm = [_norm_file_path(f) for f in affected_raw]
-    rows_deleted = int(
-        per.agg(F.sum("n_del").alias("s")).collect()[0]["s"]
-    )
+    rows_deleted = int(sum(r["n_del"] for r in fstats))
 
+    _mark("plan_scan")
     # 2. JOURNAL phase 1: from here on the manifest writers refuse until
     # the delete settles (normally step 6; after a crash, resume).
     _write_journal(
@@ -235,6 +250,7 @@ def delete_from_bucketed_table(
     )
     _chk("journal1")
 
+    _mark("journal1")
     # 3. INSERT retained.  Read the affected files BY PATH — not through
     # the catalog table, whose relation the insert target would alias —
     # with basePath so partition discovery recovers pcell.  Repartition
@@ -255,6 +271,7 @@ def delete_from_bucketed_table(
         .select(*df.columns)
         .write.insertInto(table)
     )
+    _mark("insert_retained")
     _chk("insert")
 
     # 4. JOURNAL phase 2: record what the insert produced.
@@ -271,25 +288,30 @@ def delete_from_bucketed_table(
     )
     _chk("journal2")
 
+    _mark("journal2")
     # 5. REMOVE the originals; the retained copies are now the rows'
     # only instance.
     for f in affected_norm:
         os.remove(f"/{f}")
     spark.catalog.refreshTable(table)
+    _mark("remove")
     _chk("remove")
 
-    # 6. REPAIR the metadata incrementally, as ONE atomic commit.
+    # 6. REPAIR the metadata incrementally, as ONE atomic commit.  Tiny
+    # frames throughout — the cost discipline here is JOB COUNT, not
+    # data: every check that can run on already-collected driver rows
+    # does, and the two density guards share one action.
     if man is not None:
-        kept = man.filter(~F.col("file_path").isin(affected_raw))
-        n_kept = kept.count()
-        if n_kept != len(known) - len(affected_raw):
+        drifted = [f for f in affected_raw if f not in known_raw]
+        if drifted:
             raise ValueError(
                 f"manifest file_path spelling drifted for {table}: "
-                f"dropping {len(affected_raw)} affected row(s) left "
-                f"{n_kept} of {len(known)} — re-run "
+                f"{len(drifted)} affected file(s) missing from the "
+                f"manifest (e.g. {drifted[0]}) — re-run "
                 "write_bucketed_manifest (resume_bucketed_delete "
                 "settles the journal)"
             )
+        kept = man.filter(~F.col("file_path").isin(affected_raw))
         per_new = None
         if new_files:
             per_new, man_new = _stats_for_files(
@@ -297,34 +319,46 @@ def delete_from_bucketed_table(
                 pcell_type=dict(man.dtypes).get("pcell"),
             )
             kept = kept.unionByName(man_new)
+        _mark("repair_new_file_stats")
         artifacts = {"manifest": kept.coalesce(1)}
         if spec.get("dsi.kind") == "points":
             dens = meta_read(spark, path, "density")
             dd = per.groupBy("cell").agg(F.sum("n_del").alias("n_del"))
-            orphan = dd.join(dens, "cell", "left_anti").count()
-            merged = dens.join(dd, "cell", "left").select(
+            merged = dens.join(dd, "cell", "full_outer").select(
                 "cell",
                 (
-                    F.col("n") - F.coalesce(F.col("n_del"), F.lit(0))
+                    F.coalesce(F.col("n"), F.lit(0))
+                    - F.coalesce(F.col("n_del"), F.lit(0))
                 ).alias("n"),
+                F.col("n").isNull().alias("_orphan"),
             )
-            if orphan or merged.filter(F.col("n") < 0).count():
+            g = merged.agg(
+                F.sum(F.col("_orphan").cast("int")).alias("orphan"),
+                F.sum((F.col("n") < 0).cast("int")).alias("neg"),
+            ).collect()[0]
+            if g["orphan"] or g["neg"]:
                 raise ValueError(
                     f"density summary of {table} disagrees with the "
                     "deleted rows (cells missing or over-decremented) — "
                     "the summary was stale despite the freshness check; "
                     "re-run write_bucketed_manifest"
                 )
-            artifacts["density"] = merged.filter(F.col("n") > 0).coalesce(1)
+            artifacts["density"] = (
+                merged.filter(F.col("n") > 0).drop("_orphan").coalesce(1)
+            )
+            _mark("repair_density_guard")
         meta_commit(path, artifacts)
+        _mark("repair_commit")
         if per_new is not None:
             per_new.unpersist()
+    _mark("meta_repair")
     _clear_journal(path)
     return {
         "files_rewritten": len(affected_raw),
         "files_new": len(new_files),
         "rows_deleted": rows_deleted,
         "meta_version": meta_version(path),
+        "timings": timings,
     }
 
 
