@@ -596,6 +596,15 @@ def compact_bucketed_table(
             "compaction writes a NEW path and swaps (read-old-write-new); "
             "in-place rewrite would race its own scan"
         )
+    from distributed_spatial_index_spark.plans.delete import (
+        assert_no_pending_delete,
+    )
+
+    # harder failure class than the manifest writers': compaction reads
+    # the path DIRECTLY, so an unsettled delete's retained-row copies
+    # would be rewritten into the new layout as permanent duplicate DATA
+    # (and the journal would not follow the swap)
+    assert_no_pending_delete(table, spec["dsi.path"])
     files_before = len(list_data_files(spark, spec["dsi.path"]))
     # read the OLD files by path, not through the catalog: _write_bucketed
     # drops the catalog entry before writing, and a catalog-resolved plan

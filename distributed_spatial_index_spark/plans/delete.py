@@ -372,7 +372,11 @@ def resume_bucketed_delete(spark: SparkSession, table: str) -> dict:
     table was manifested, the metadata is rebuilt with a FULL
     write_bucketed_manifest — the incremental repair's inputs may have
     died with the crash, and a full rebuild from the surviving data is
-    always correct.  Returns ``{resumed, action, ...}``."""
+    always correct.  Returns ``{resumed, action, ...}``.
+
+    The journal records ingest-time absolute paths, so settle a crashed
+    delete BEFORE relocating the layout — the same ordering the
+    manifest already imposes (attach_bucketed_table docstring)."""
     spec = _get_spec(spark, table)
     if "dsi.path" not in spec:
         raise ValueError(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from distributed_spatial_index_spark.operators.range_join import point_range_join
 from distributed_spatial_index_spark.plans.bucketing import (
     bucketed_point_range_join,
+    compact_bucketed_table,
     count_exchanges,
     pruned_bucketed_point_range_join,
     update_bucketed_manifest,
@@ -225,6 +226,11 @@ def test_every_crash_window_settles_through_resume(spark):
                 write_bucketed_manifest(spark, PTS)
             with pytest.raises(ValueError, match="unsettled"):
                 update_bucketed_manifest(spark, PTS)
+            # compaction reads the path directly — rewriting an
+            # unsettled delete's retained copies would bake duplicate
+            # ROWS into the new layout, so it refuses hardest of all
+            with pytest.raises(ValueError, match="unsettled"):
+                compact_bucketed_table(spark, PTS, f"{d}/pts_v2")
 
             res = resume_bucketed_delete(spark, PTS)
             assert res["resumed"], (window, res)
