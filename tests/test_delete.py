@@ -255,3 +255,105 @@ def test_every_crash_window_settles_through_resume(spark):
                 "action": "none",
             }
             spark.sql(f"DROP TABLE IF EXISTS {PTS}")
+
+
+def test_delete_composes_with_stream_land_append_and_compact(spark):
+    """The full lifecycle on ONE table — stream-landed (multi-file
+    batches), then DELETE, then INSERT INTO append (+ incremental
+    manifest), then compaction — with the landed join exact against a
+    from-scratch recomputation at the end.  The delete must handle
+    stream-landed file layouts (several files per (pcell, bucket)), and
+    every later verb must accept the delete's rewritten state."""
+    from tests.test_land import _chunked_stream
+
+    from distributed_spatial_index_spark.streaming.land import (
+        stream_land_points,
+    )
+
+    pts = src.unique_geo_points(spark, SF_DIR, "lineitem")
+    qs = src.range_queries(spark, SF_DIR, "lineitem")
+    with tempfile.TemporaryDirectory() as d:
+        q = stream_land_points(
+            _chunked_stream(spark, pts, d), PTS, f"{d}/pts",
+            f"{d}/ckpt", n_buckets=4, coarse_bits=2,
+        )
+        q.awaitTermination(300)
+        assert not q.isActive and q.exception() is None
+
+        # DELETE from the stream-landed (multi-file) layout
+        stats = delete_from_bucketed_table(spark, PTS, F.col("id") % 3 == 0)
+        assert stats["rows_deleted"] > 0
+
+        # append THROUGH the table, repair incrementally (the freshness
+        # precondition the delete left behind must hold)
+        extra = spark.createDataFrame(
+            spark.table(PTS).limit(7).collect(), spark.table(PTS).schema
+        )
+        extra.write.insertInto(PTS)
+        assert update_bucketed_manifest(spark, PTS) > 0
+
+        # compact pays the stream's + delete's file debt; spec survives
+        before, after = compact_bucketed_table(spark, PTS, f"{d}/pts_v2")
+        assert after < before
+
+        expect_pts = spark.createDataFrame(
+            spark.table(PTS).select("id", "x", "y").collect(),
+            "id long, x double, y double",
+        )
+        write_bucketed_query_cells(qs, QC, f"{d}/qc", n_buckets=4)
+        got = sorted(map(tuple, bucketed_point_range_join(
+            spark, PTS, QC).collect()))
+        assert got == sorted(map(tuple, point_range_join(
+            expect_pts, qs).collect())) and len(got) > 0
+        sel = pruned_bucketed_point_range_join(spark, PTS, QC)
+        assert sorted(map(tuple, sel.collect())) == got  # manifest fresh
+
+
+def test_delete_from_salted_and_query_cells_tables(spark):
+    """The delete's bucket-parity machinery under the (cell, salt) spec,
+    and the query-table kind (no density artifact): retiring standing
+    queries is a delete too."""
+    from distributed_spatial_index_spark.config import JOIN_BITS
+    from distributed_spatial_index_spark.operators.density import density_grid
+    from distributed_spatial_index_spark.plans.partitioning import (
+        hot_cells_from_density,
+    )
+
+    pts = src.unique_geo_points(spark, SF_DIR, "lineitem")
+    qs = src.range_queries(spark, SF_DIR, "lineitem")
+    hot = hot_cells_from_density(density_grid(pts, bits=JOIN_BITS), threshold=1)
+    assert hot
+    with tempfile.TemporaryDirectory() as d:
+        write_bucketed_points(
+            pts, PTS, f"{d}/pts", n_buckets=4, hot=hot, n_salt=4
+        )
+        write_bucketed_manifest(spark, PTS)
+        n0 = spark.table(PTS).count()
+        stats = delete_from_bucketed_table(spark, PTS, F.col("id") % 5 == 0)
+        assert stats["rows_deleted"] > 0
+        assert spark.table(PTS).count() == n0 - stats["rows_deleted"]
+        assert spark.table(PTS).filter(F.col("id") % 5 == 0).count() == 0
+        # the repaired manifest equals a full recompute (parity checks
+        # ran under the salted (cell, salt) bucket key)
+        path = f"{d}/pts"
+        man_inc = sorted(map(tuple, meta_read(spark, path, "manifest").collect()))
+        write_bucketed_manifest(spark, PTS)
+        assert man_inc == sorted(
+            map(tuple, meta_read(spark, path, "manifest").collect())
+        )
+
+        # query-cells table: delete retires standing queries (no density
+        # artifact in the repair)
+        write_bucketed_query_cells(qs, QC, f"{d}/qc", n_buckets=4)
+        write_bucketed_manifest(spark, QC)
+        gone = [r["query_id"] for r in qs.limit(3).collect()]
+        qstats = delete_from_bucketed_table(
+            spark, QC, F.col("query_id").isin(gone)
+        )
+        assert qstats["rows_deleted"] > 0
+        assert spark.table(QC).filter(
+            F.col("query_id").isin(gone)
+        ).count() == 0
+        assert meta_read(spark, f"{d}/qc", "manifest").count() == len(
+            list_data_files(spark, f"{d}/qc")
+        )
