@@ -187,7 +187,13 @@ def embedding_dup_pairs(
             if cdist[i, j] <= d_max + radii[i] + radii[j]:
                 pair_rows.append((pk, i, j))
                 pk += 1
-    pairs_df = spark.createDataFrame(pair_rows, "pk long, ba int, bb int")
+    from distributed_spatial_index_spark.functions.local_rel import (
+        jvm_local_df,
+    )
+
+    # broadcast twice below: a pure-JVM literal plan, not createDataFrame
+    # (whose Python-backed partitions re-serialize per broadcast build)
+    pairs_df = jvm_local_df(spark, pair_rows, "pk long, ba int, bb int")
 
     left = docs.join(
         F.broadcast(pairs_df), docs["bucket"] == pairs_df["ba"]

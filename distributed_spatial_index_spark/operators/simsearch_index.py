@@ -313,7 +313,11 @@ def incremental_embedding_dup_pairs(
             if cdist[i, j] <= d_max + batch_rmax[i] + union_rmax[j]:
                 pair_rows.append((pk, i, j))
                 pk += 1
-    pairs_df = spark.createDataFrame(pair_rows, "pk long, ba int, bb int")
+    from distributed_spatial_index_spark.functions.local_rel import (
+        jvm_local_df,
+    )
+
+    pairs_df = jvm_local_df(spark, pair_rows, "pk long, ba int, bb int")
 
     needed = sorted(
         {j for _, _, j in pair_rows if j in corpus_rmax}

@@ -74,10 +74,17 @@ def hot_cells_from_density(
 
 def hot_cell_lookup(spark, hot: list[int]) -> DataFrame:
     """The broadcast-joinable hot-cell membership table (cell, is_hot) —
-    see salted_point_range_join's docstring for why a lookup table beats
-    an in-expression array literal."""
-    return spark.createDataFrame(
-        [(int(h),) for h in hot], "cell long"
+    see salted_point_range_join's docstring for why a lookup JOIN beats
+    an O(hot) in-expression per probe row.  Built as a pure-JVM literal
+    plan (functions/local_rel.py): a createDataFrame relation would pay
+    one Python-worker round-trip per partition on EVERY broadcast
+    build."""
+    from distributed_spatial_index_spark.functions.local_rel import (
+        jvm_local_df,
+    )
+
+    return jvm_local_df(
+        spark, [(int(h),) for h in hot], "cell long"
     ).withColumn("is_hot", F.lit(True))
 
 
