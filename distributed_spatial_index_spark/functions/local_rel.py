@@ -28,16 +28,21 @@ from pyspark.sql import functions as F
 def jvm_local_df(
     spark: SparkSession,
     rows: list[tuple],
-    schema: str,
+    schema,
     max_literal_rows: int = 4096,
 ) -> DataFrame:
-    """``rows`` (tuples, matching the DDL ``schema`` string) as a
-    DataFrame whose plan is ``explode(array(<struct literals>))`` — no
-    Python-backed RDD anywhere in it.  Empty input yields a zero-row
-    pure-JVM plan; oversized input falls back to createDataFrame."""
-    from pyspark.sql.types import _parse_datatype_string
+    """``rows`` (tuples, matching ``schema`` — a DDL string or a
+    StructType) as a DataFrame whose plan is
+    ``explode(array(<struct literals>))`` — no Python-backed RDD anywhere
+    in it.  Empty input yields a zero-row pure-JVM plan; oversized input
+    falls back to createDataFrame."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
 
-    st = _parse_datatype_string(schema)
+    st = (
+        schema
+        if isinstance(schema, StructType)
+        else _parse_datatype_string(schema)
+    )
     if not rows:
         return spark.range(0).select(
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]

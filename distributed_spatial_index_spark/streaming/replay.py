@@ -109,9 +109,20 @@ def replay_stream(
                     pd.Timestamp(max_ts)
                     + (flush_windows + j) * pd.Timedelta(milliseconds=WINDOW_MS)
                 )
-                fdf = spark.createDataFrame(
-                    [make_row(pts.schema, flush_ts)], pts.schema
-                ).select(*pts.columns)
+                from distributed_spatial_index_spark.functions.local_rel import (
+                    jvm_local_df,
+                )
+
+                r = make_row(pts.schema, flush_ts)
+                if isinstance(r, dict):
+                    r = tuple(r.get(f.name) for f in pts.schema.fields)
+                # literal plan, not createDataFrame: these two writes sit
+                # inside the TIMED replay, and a Python-backed one-row
+                # frame under coalesce(1) pays a worker round-trip per
+                # partition (functions/local_rel.py)
+                fdf = jvm_local_df(spark, [r], pts.schema).select(
+                    *pts.columns
+                )
                 fdf.coalesce(1).write.mode("overwrite").parquet(
                     f"{d}/chunk{n_chunks + j:03d}"
                 )
