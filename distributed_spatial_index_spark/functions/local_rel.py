@@ -49,6 +49,13 @@ def jvm_local_df(
         )
     if len(rows) > max_literal_rows:
         return spark.createDataFrame(rows, schema)
+    bad = [r for r in rows if len(r) != len(st.fields)]
+    if bad:
+        raise ValueError(
+            f"{len(bad)} row(s) have {len(bad[0])} values but the schema "
+            f"declares {len(st.fields)} fields (e.g. {bad[0]!r}) — a "
+            "zipped literal build would silently truncate"
+        )
     structs = [
         F.struct(
             *[

@@ -351,8 +351,8 @@ def delete_from_bucketed_table(
         _mark("repair_commit")
         if per_new is not None:
             per_new.unpersist()
-    _mark("meta_repair")
     _clear_journal(path)
+    _mark("settle")
     return {
         "files_rewritten": len(affected_raw),
         "files_new": len(new_files),
