@@ -260,7 +260,10 @@ def delete_from_bucketed_table(
         ["cell", "salt"] if spec["dsi.salted"] == "1" else ["cell"]
     )
     retained = (
-        spark.read.option("basePath", f"/{_norm_file_path(path)}")
+        # _local_root (non-None, checked up front) abspaths dsi.path, so
+        # a RELATIVE layout path still yields a basePath that prefixes
+        # the absolute file paths below
+        spark.read.option("basePath", _local_root(path))
         .parquet(*[f"/{f}" for f in affected_norm])
         .filter(~F.coalesce(predicate, F.lit(False)))
     )
