@@ -360,8 +360,10 @@ def incremental_near_dup_pairs(
     # answer-sized: materialize so the candidate-shingle cache is released
     # before returning (minhash_lsh_pairs' discipline)
     out = out.persist()
-    out.count()
-    sh.unpersist()
+    try:
+        out.count()
+    finally:
+        sh.unpersist()  # release even when the count raises
     out.index_stats = {
         "new_bucket_rows_broadcast": small,
         "max_bucket": max_bucket,

@@ -220,8 +220,10 @@ def embedding_dup_pairs(
     # released before returning — repeated calls in a long-lived session
     # must not accumulate cached RDDs (same discipline as knn())
     out = out.persist()
-    out.count()
-    docs.unpersist()
+    try:
+        out.count()
+    finally:
+        docs.unpersist()  # release even when the count raises
     return out
 
 

@@ -485,81 +485,46 @@ def write_bucketed_manifest(spark: SparkSession, table: str) -> None:
     # the originals; manifesting that state would double-count — refuse
     # until resume_bucketed_delete settles it
     assert_no_pending_delete(table, spec["dsi.path"])
-    n = int(spec["dsi.n_buckets"])
     # drop the cached file index: files INSERTed (or illegitimately
     # appended) since the table was last planned must be manifested
     spark.catalog.refreshTable(table)
-    df = spark.table(table)
-    bucket_cols = (
-        ["cell", "salt"] if spec["dsi.salted"] == "1" else ["cell"]
+    from distributed_spatial_index_spark.sources.layout import (
+        list_data_files,
     )
-    keys = [F.col("_metadata.file_path").alias("file_path")]
-    if "dsi.coarse_bits" in spec:
-        keys.append(F.col("pcell"))
-    # (file, cell)-grained pre-aggregation: bucket files hold exactly one
-    # bucket's rows, so per-(file, cell) bucket-hash min==max still rolls
-    # up to the per-file parity check; cell-grained counts roll up to the
-    # density summary.  Bounded by cells x their file replication — tiny.
-    # Bucketed reading is disabled for this one scan: the group key now
-    # contains the bucket column, and Spark's bucketed scan would throw a
-    # cryptic INVALID_BUCKET_FILE on a polluted path before OUR check can
-    # name the actual problem (and the write gains nothing from the
-    # bucket-distribution shortcut).
-    old_bkt = spark.conf.get("spark.sql.sources.bucketing.enabled")
-    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
-    try:
-        per = (
-            df.groupBy(*keys, F.col("cell"))
-            .agg(
-                F.min(F.pmod(F.hash(*bucket_cols), F.lit(n))).alias("_bmin"),
-                F.max(F.pmod(F.hash(*bucket_cols), F.lit(n))).alias("_bmax"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .persist()
-        )
-        per.count()  # materialize under the disabled-bucketing conf
-    finally:
-        spark.conf.set("spark.sql.sources.bucketing.enabled", old_bkt)
-    man = (
-        per.groupBy("file_path", *(["pcell"] if len(keys) == 2 else []))
-        .agg(
-            F.min("_bmin").alias("bucket"),
-            F.max("_bmax").alias("_bmax"),
-            F.min("cell").alias("cell_min"),
-            F.max("cell").alias("cell_max"),
-            F.sum("n").alias("n_rows"),
-        )
-        .withColumn(
-            # nullif: a non-bucket file yields "" and ANSI cast("")
-            # would throw; NULL is flagged as bad below instead
-            "_bname",
-            F.nullif(
-                F.regexp_extract(F.col("file_path"), r"_(\d{5})\.", 1),
-                F.lit(""),
-            ).cast("int"),
-        )
-    )
-    bad = man.filter(
-        F.col("_bname").isNull()
-        | (F.col("bucket") != F.col("_bmax"))
-        | (F.col("bucket") != F.col("_bname"))
-    ).count()
-    if bad:
-        per.unpersist()
+
+    files = list_data_files(spark, spec["dsi.path"])
+    if not files:
         raise ValueError(
-            f"{bad} file(s) of {table} mix bucket ids or disagree with the "
-            "bucket-file naming — the table was not written by "
-            "write_bucketed_*, or the bucket-hash parity assumption broke"
+            f"table {table} has no data files at {spec['dsi.path']} — "
+            "nothing to manifest"
         )
-    artifacts = {"manifest": man.drop("_bmax", "_bname").coalesce(1)}
-    if spec.get("dsi.kind") == "points":
-        artifacts["density"] = (
-            per.groupBy("cell").agg(F.sum("n").alias("n")).coalesce(1)
-        )
-    # one atomic commit for BOTH artifacts (sources/metastore.py): a
-    # reader can never pair a fresh manifest with a stale density
-    meta_commit(spec["dsi.path"], artifacts)
-    per.unpersist()
+    # the full write is just the incremental machinery over EVERY file:
+    # _stats_for_files owns the (file, cell) pre-aggregation and all the
+    # pollution checks (bucket parity, naming, partition span), so the
+    # full / incremental / delete paths cannot drift, and reading by
+    # path (never a bucketed scan) sidesteps the cryptic
+    # INVALID_BUCKET_FILE a polluted path would throw before our check
+    # could name the problem.  pcell is re-derived as the exact integer
+    # prefix of the cell and checked against each file — stricter than
+    # trusting the hive directory value, equal by construction for
+    # tables this module wrote.
+    pcell_type = (
+        dict(spark.table(table).dtypes).get("pcell")
+        if "dsi.coarse_bits" in spec
+        else None
+    )
+    per, man_rows = _stats_for_files(spark, spec, table, files, pcell_type)
+    try:
+        artifacts = {"manifest": man_rows.coalesce(1)}
+        if spec.get("dsi.kind") == "points":
+            artifacts["density"] = (
+                per.groupBy("cell").agg(F.sum("n").alias("n")).coalesce(1)
+            )
+        # one atomic commit for BOTH artifacts (sources/metastore.py): a
+        # reader can never pair a fresh manifest with a stale density
+        meta_commit(spec["dsi.path"], artifacts)
+    finally:
+        per.unpersist()
 
 
 def compact_bucketed_table(
@@ -701,20 +666,22 @@ def update_bucketed_manifest(spark: SparkSession, table: str) -> int:
     per, man_new = _stats_for_files(
         spark, spec, table, new, pcell_type=dict(man.dtypes).get("pcell")
     )
-    # merged frames READ the old version and COMMIT as a new one
-    # (sources/metastore.py): read-what-you-overwrite is impossible by
-    # construction, and manifest+density swap atomically as a pair
-    artifacts = {"manifest": man.unionByName(man_new).coalesce(1)}
-    if spec.get("dsi.kind") == "points":
-        artifacts["density"] = (
-            meta_read(spark, path, "density")
-            .unionByName(per.groupBy("cell").agg(F.sum("n").alias("n")))
-            .groupBy("cell")
-            .agg(F.sum("n").alias("n"))
-            .coalesce(1)
-        )
-    meta_commit(path, artifacts)
-    per.unpersist()
+    try:
+        # merged frames READ the old version and COMMIT as a new one
+        # (sources/metastore.py): read-what-you-overwrite is impossible
+        # by construction, and manifest+density swap atomically as a pair
+        artifacts = {"manifest": man.unionByName(man_new).coalesce(1)}
+        if spec.get("dsi.kind") == "points":
+            artifacts["density"] = (
+                meta_read(spark, path, "density")
+                .unionByName(per.groupBy("cell").agg(F.sum("n").alias("n")))
+                .groupBy("cell")
+                .agg(F.sum("n").alias("n"))
+                .coalesce(1)
+            )
+        meta_commit(path, artifacts)
+    finally:
+        per.unpersist()
     return len(new)
 
 

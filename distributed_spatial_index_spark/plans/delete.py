@@ -188,6 +188,22 @@ def delete_from_bucketed_table(
         )
     assert_no_pending_delete(table, path)
     spark.catalog.refreshTable(table)
+    # the predicate is evaluated in TWO independent scans (plan, retained
+    # read); a non-deterministic one would re-roll between them and
+    # silently corrupt the table — the one failure mode this module
+    # cannot make loud after the fact, so refuse it up front via the
+    # analyzed filter plan (the table scan itself is deterministic, so
+    # the predicate decides).  A UDF over mutable external state that
+    # CLAIMS determinism is on the caller, exactly as it is for a table
+    # format's copy-on-write DELETE.
+    probe = spark.table(table).filter(predicate)
+    if not probe._jdf.queryExecution().analyzed().deterministic():
+        raise ValueError(
+            "delete predicate is non-deterministic (rand(), shuffle(), a "
+            "UDF marked nondeterministic, ...): the copy-on-write delete "
+            "evaluates it twice, and differing draws would silently "
+            "corrupt the table"
+        )
 
     man = None
     try:
@@ -316,44 +332,48 @@ def delete_from_bucketed_table(
             )
         kept = man.filter(~F.col("file_path").isin(affected_raw))
         per_new = None
-        if new_files:
-            per_new, man_new = _stats_for_files(
-                spark, spec, table, new_files,
-                pcell_type=dict(man.dtypes).get("pcell"),
-            )
-            kept = kept.unionByName(man_new)
-        _mark("repair_new_file_stats")
-        artifacts = {"manifest": kept.coalesce(1)}
-        if spec.get("dsi.kind") == "points":
-            dens = meta_read(spark, path, "density")
-            dd = per.groupBy("cell").agg(F.sum("n_del").alias("n_del"))
-            merged = dens.join(dd, "cell", "full_outer").select(
-                "cell",
-                (
-                    F.coalesce(F.col("n"), F.lit(0))
-                    - F.coalesce(F.col("n_del"), F.lit(0))
-                ).alias("n"),
-                F.col("n").isNull().alias("_orphan"),
-            )
-            g = merged.agg(
-                F.sum(F.col("_orphan").cast("int")).alias("orphan"),
-                F.sum((F.col("n") < 0).cast("int")).alias("neg"),
-            ).collect()[0]
-            if g["orphan"] or g["neg"]:
-                raise ValueError(
-                    f"density summary of {table} disagrees with the "
-                    "deleted rows (cells missing or over-decremented) — "
-                    "the summary was stale despite the freshness check; "
-                    "re-run write_bucketed_manifest"
+        try:
+            if new_files:
+                per_new, man_new = _stats_for_files(
+                    spark, spec, table, new_files,
+                    pcell_type=dict(man.dtypes).get("pcell"),
                 )
-            artifacts["density"] = (
-                merged.filter(F.col("n") > 0).drop("_orphan").coalesce(1)
-            )
-            _mark("repair_density_guard")
-        meta_commit(path, artifacts)
-        _mark("repair_commit")
-        if per_new is not None:
-            per_new.unpersist()
+                kept = kept.unionByName(man_new)
+            _mark("repair_new_file_stats")
+            artifacts = {"manifest": kept.coalesce(1)}
+            if spec.get("dsi.kind") == "points":
+                dens = meta_read(spark, path, "density")
+                dd = per.groupBy("cell").agg(F.sum("n_del").alias("n_del"))
+                merged = dens.join(dd, "cell", "full_outer").select(
+                    "cell",
+                    (
+                        F.coalesce(F.col("n"), F.lit(0))
+                        - F.coalesce(F.col("n_del"), F.lit(0))
+                    ).alias("n"),
+                    F.col("n").isNull().alias("_orphan"),
+                )
+                g = merged.agg(
+                    F.sum(F.col("_orphan").cast("int")).alias("orphan"),
+                    F.sum((F.col("n") < 0).cast("int")).alias("neg"),
+                ).collect()[0]
+                if g["orphan"] or g["neg"]:
+                    raise ValueError(
+                        f"density summary of {table} disagrees with the "
+                        "deleted rows (cells missing or over-decremented) "
+                        "— the summary was stale despite the freshness "
+                        "check; re-run write_bucketed_manifest"
+                    )
+                artifacts["density"] = (
+                    merged.filter(F.col("n") > 0).drop("_orphan").coalesce(1)
+                )
+                _mark("repair_density_guard")
+            meta_commit(path, artifacts)
+            _mark("repair_commit")
+        finally:
+            # release even on the guard/commit raise paths — a leaked
+            # (file, cell) cache would outlive the failed delete
+            if per_new is not None:
+                per_new.unpersist()
     _clear_journal(path)
     _mark("settle")
     return {

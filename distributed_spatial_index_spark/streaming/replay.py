@@ -174,12 +174,21 @@ def _write_chunks(
     exact)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     pdf = df.orderBy(*sort_cols).toPandas()
     if len(pdf) == 0:
         raise ValueError("replay needs non-empty input")
     chunk = max(len(pdf) // n_chunks, 1)
-    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    # the EXPLICIT arrow schema is load-bearing: toPandas upcasts a
+    # nullable long to float64, and an inferred from_pandas would stage
+    # parquet DOUBLE that the declared-schema stream read then rejects
+    # (PARQUET_COLUMN_DATA_TYPE_MISMATCH); the Spark-derived schema
+    # converts NaN-as-null back to int64 and naive ns to micros-UTC,
+    # exactly what createDataFrame(pdf, df.schema) used to reconcile
+    table = pa.Table.from_pandas(
+        pdf, schema=to_arrow_schema(df.schema), preserve_index=False
+    )
     for i in range(n_chunks):
         lo = i * chunk
         n = (len(table) - lo) if i == n_chunks - 1 else chunk

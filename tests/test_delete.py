@@ -357,3 +357,18 @@ def test_delete_from_salted_and_query_cells_tables(spark):
         assert meta_read(spark, f"{d}/qc", "manifest").count() == len(
             list_data_files(spark, f"{d}/qc")
         )
+
+
+def test_delete_refuses_nondeterministic_predicate(spark):
+    """The predicate is evaluated in two independent scans; a
+    non-deterministic one would re-roll between them and silently
+    corrupt the table — the delete refuses it up front (review
+    finding)."""
+    with tempfile.TemporaryDirectory() as d:
+        _land(spark, d)
+        n0 = spark.table(PTS).count()
+        with pytest.raises(ValueError, match="non-deterministic"):
+            delete_from_bucketed_table(spark, PTS, F.rand() < 0.5)
+        assert spark.table(PTS).count() == n0  # untouched, no journal
+        path = f"{d}/pts"
+        assert read_delete_journal(path) is None

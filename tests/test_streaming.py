@@ -556,3 +556,23 @@ def test_stream_stream_state_plateaus_under_load_rocksdb(spark):
     # plateau, with slack for watermark-lag jitter between batches
     assert hwm_second <= hwm_first * 1.15, (hwm_first, hwm_second, totals)
     assert totals[-1] < hwm_first, totals
+
+
+def test_replay_stages_nullable_long_columns_exactly(spark):
+    """Review regression: toPandas upcasts a nullable long to float64,
+    and an INFERRED arrow conversion would stage parquet DOUBLE that the
+    declared-schema stream read rejects
+    (PARQUET_COLUMN_DATA_TYPE_MISMATCH).  The staging must reconcile to
+    the Spark schema — longs with NULLs round-trip exactly."""
+    import datetime
+
+    from distributed_spatial_index_spark.streaming.replay import replay_stream
+
+    rows = [
+        (i, None if i % 3 == 0 else i * 10,
+         datetime.datetime(2020, 1, 1, 0, 0, i))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, ts timestamp")
+    out = replay_stream(spark, df, lambda s: s, n_chunks=3, flush=False)
+    assert sorted(map(tuple, out.collect())) == sorted(rows)
