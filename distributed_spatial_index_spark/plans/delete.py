@@ -1,8 +1,10 @@
 """Copy-on-write DELETE over the landed bucketed layout.
 
-A table format gives a table three data-lifecycle verbs this layout
-stands in for: APPEND (streaming/land.py), COMPACT
-(plans/bucketing.compact_bucketed_table), and DELETE — this module.  A
+A table format gives a table data-lifecycle verbs this layout stands
+in for: APPEND (streaming/land.py), COMPACT
+(plans/bucketing.compact_bucketed_table), MERGE/upsert
+(plans/upsert.py — shares this module's journal and settlement), and
+DELETE — this module.  A
 100-TB training corpus deletes continuously (opt-outs, retired regions,
 dedup losers), and the bill that matters is the classic copy-on-write
 one: rewrite ONLY the files that hold matched rows — cost proportional
@@ -123,10 +125,12 @@ def assert_no_pending_delete(table: str, path: str) -> None:
     never settled — between its journal and its metadata commit the data
     files and the manifest legitimately disagree, and any metadata write
     in that state would double-count the retained-row copies."""
-    if read_delete_journal(path) is not None:
+    j = read_delete_journal(path)
+    if j is not None:
         raise ValueError(
-            f"table {table} has an unsettled copy-on-write delete "
-            f"({_JOURNAL} at {path}); run resume_bucketed_delete first"
+            f"table {table} has an unsettled copy-on-write "
+            f"{j.get('op', 'delete')} ({_JOURNAL} at {path}); run "
+            "resume_bucketed_delete first"
         )
 
 
@@ -386,7 +390,9 @@ def delete_from_bucketed_table(
 
 
 def resume_bucketed_delete(spark: SparkSession, table: str) -> dict:
-    """Settle a crashed copy-on-write delete from its journal.  Decides
+    """Settle a crashed copy-on-write delete OR upsert (plans/upsert.py
+    — the two verbs share the journal, and their settlement semantics
+    are identical) from its journal.  Decides
     from the journal's pre-insert listing whether the retained-row
     insert committed: if not (phase 1, no unjournaled files on disk),
     the table was never changed — the journal clears and the caller

@@ -1,5 +1,6 @@
-"""Measure the copy-on-write delete against the full-rewrite
-alternative at sf0.1 (BENCH/BASELINE.md "Copy-on-write delete" section).
+"""Measure the copy-on-write delete (and MERGE/upsert) against the
+full-rewrite alternative at sf0.1 (BENCH/BASELINE.md "Copy-on-write
+delete" section).
 
 Each mode runs in its OWN python session (host-noise protocol: neither
 op inherits the other's caches or JVM warmth):
@@ -7,6 +8,11 @@ op inherits the other's caches or JVM warmth):
   python scripts/delete_experiment.py land    # build + manifest layout
   python scripts/delete_experiment.py delete  # COW delete (mutates!)
   python scripts/delete_experiment.py full    # filter + full re-land
+  python scripts/delete_experiment.py upsert  # COW merge (mutates!)
+  python scripts/delete_experiment.py full_upsert  # merge as full re-land
+
+The upsert batch mirrors the nightly-recrawl shape: 2,000 existing ids
+from the busiest pcell re-geocoded (+3.0 x), plus 1,000 brand-new ids.
 
 The predicate is (pcell == <busiest>) & (id % 2 == 0): a partial-file
 spatial delete touching one hive directory of 16.  `delete` re-attaches
@@ -103,6 +109,56 @@ def main(mode: str) -> None:
         write_bucketed_manifest(spark, "t_exp_pts_v2")
         print(f"full_rewrite_sec: {time.perf_counter() - t0:.2f}")
         print("rows:", spark.table("t_exp_pts_v2").count())
+    elif mode in ("upsert", "full_upsert"):
+        attach_bucketed_table(spark, "t_exp_pts", f"{BASE}/pts")
+        tbl = spark.table("t_exp_pts")
+        pc = tbl.groupBy("pcell").count().orderBy(
+            F.desc("count")
+        ).first()["pcell"]
+        cols = ["id", "x", "y", "ts"]
+        upd = (
+            tbl.filter(F.col("pcell") == pc)
+            .orderBy("id").limit(2000)
+            .withColumn("x", F.col("x") + F.lit(3.0))
+            .select(*cols)
+        )
+        max_id = tbl.agg(F.max("id")).collect()[0][0]
+        ins = (
+            tbl.orderBy(F.desc("id")).limit(1000)
+            .withColumn("id", F.col("id") + F.lit(int(max_id)))
+            .select(*cols)
+        )
+        batch = upd.unionByName(ins).localCheckpoint()
+        if mode == "upsert":
+            from distributed_spatial_index_spark.plans.upsert import (
+                upsert_into_bucketed_table,
+            )
+
+            t0 = time.perf_counter()
+            stats = upsert_into_bucketed_table(spark, "t_exp_pts", batch)
+            print(f"upsert_sec: {time.perf_counter() - t0:.2f}")
+            print("stats:", stats)
+        else:
+            # what a user without the merge verb runs: anti-join the
+            # batch keys out of the whole table, union the batch,
+            # re-land + re-manifest at a new path
+            shutil.rmtree(f"{BASE}/pts_v2", ignore_errors=True)
+            src_df = spark.read.option("basePath", f"{BASE}/pts").parquet(
+                f"{BASE}/pts"
+            )
+            t0 = time.perf_counter()
+            merged = (
+                src_df.join(batch.select("id"), "id", "left_anti")
+                .select(*cols)
+                .unionByName(batch.select(*cols))
+            )
+            write_bucketed_points(
+                merged, "t_exp_pts_v2", f"{BASE}/pts_v2",
+                n_buckets=8, coarse_bits=2,
+            )
+            write_bucketed_manifest(spark, "t_exp_pts_v2")
+            print(f"full_upsert_sec: {time.perf_counter() - t0:.2f}")
+            print("rows:", spark.table("t_exp_pts_v2").count())
     else:
         raise SystemExit(f"unknown mode {mode!r}")
     print("load_post:", os.getloadavg())
