@@ -357,6 +357,19 @@ def _knn_core(
         "fallback_used": rounds_run >= max_rounds and n_remaining > 0,
     }
 
+    if len(rounds) == 1:
+        # Single settled round (the density-derived r0 common case): the
+        # round frame IS the answer and is already persisted + counted —
+        # unioning it into a second cached copy would cost one more action
+        # and a duplicate cache for identical rows.  Sweep the inputs and
+        # return it directly.
+        out = rounds[0]
+        pts.unpersist()
+        for rdf in rem_frames:
+            rdf.unpersist()
+        out.knn_stats = last_stats
+        return out
+
     out: DataFrame | None = None
     for rdf in rounds:
         out = rdf if out is None else out.unionByName(rdf)

@@ -30,6 +30,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Join strategy (guide §3.1): allow shuffled-hash join where the
+        # per-partition build side fits, instead of always sort-merge — the
+        # salted/shuffled range-join regime otherwise pays two full sorts
+        # per run.  The AQE threshold is the PER-PARTITION build-map bound,
+        # so it scales with partition sizing (100 MB-1 GB partitions at
+        # deployment keep build maps bounded), not with this sandbox.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "128m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
