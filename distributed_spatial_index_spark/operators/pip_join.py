@@ -254,10 +254,11 @@ def unrolled_raycast_pip_join(
     polygon table has one vertex count (the common tile/stencil workload).
 
     Horizontal edges (y1 == y2) can never satisfy the crossing test, but
-    their x-intercept division MUST still be guarded: the engine runs with
-    ANSI mode on, where double division by zero THROWS rather than
-    yielding IEEE inf, and relying on And short-circuiting would break
-    under conjunct reordering.  The guard is on the DENOMINATOR
+    their x-intercept division MUST still be guarded: under ANSI mode
+    double division by zero THROWS, and under non-ANSI mode (the session
+    default since r6) it yields NULL — which would poison the XOR fold —
+    rather than IEEE inf; relying on And short-circuiting would break
+    under conjunct reordering either way.  The guard is on the DENOMINATOR
     (``CASE WHEN y2 != y1 THEN y2 - y1 ELSE 1.0``): whenever the crossing
     conjunct is true the denominator is untouched, so the arithmetic stays
     bit-identical to the NumPy refine, and the horizontal-edge division is
