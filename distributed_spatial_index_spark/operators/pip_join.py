@@ -393,7 +393,15 @@ def pip_join(
     ).localCheckpoint(eager=False)
 
     pts = points.withColumn("cell", cell_id_col(F.col("x"), F.col("y"), bits, region))
-    cand = pts.join(F.broadcast(qcells), "cell")
+    # The interior/boundary routing is applied to the (tiny, broadcast)
+    # query-cell table BEFORE the join, not as a post-join filter: a filter
+    # ABOVE the join means every union branch's hash join emits the full
+    # candidate stream and then drops most of it — measured at sf0.1 the
+    # two branches emitted 13M joined rows EACH (26M emissions for 13M
+    # candidates).  Joining each branch against only its own slice of the
+    # classified cells emits each candidate exactly once across branches.
+    qc_int = qcells.filter(F.col("interior")).drop("interior")
+    qc_bnd = qcells.filter(~F.col("interior")).drop("interior")
     # in-region guard: cell ids clamp out-of-region points into edge cells,
     # so "point is in an interior cell" only implies "inside the polygon"
     # for points geometrically inside their cell (the refine path re-checks
@@ -402,18 +410,31 @@ def pip_join(
         (F.col("x") >= F.lit(region.x_lo)) & (F.col("x") <= F.lit(region.x_hi))
         & (F.col("y") >= F.lit(region.y_lo)) & (F.col("y") <= F.lit(region.y_hi))
     )
-    direct = cand.filter(F.col("interior") & in_region).select(
-        "query_id", F.col("id").alias("doc_id")
+    bbox = (
+        (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
+        & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax"))
+    )
+    direct = (
+        pts.join(F.broadcast(qc_int), "cell")
+        .filter(in_region)
+        .select("query_id", F.col("id").alias("doc_id"))
     )
     # JVM-side bbox prefilter cuts the Arrow transfer into the Python
-    # refine to points that can possibly be inside the polygon
+    # refine to points that can possibly be inside the polygon.  The
+    # second branch keeps the old semantics for clamped out-of-region
+    # points landing in interior cells: they must be refined exactly, not
+    # emitted directly (normally empty; the broadcast of qc_int is reused
+    # from the direct branch).
+    refine_cols = ["query_id", F.col("id").alias("doc_id"), "x", "y"]
     boundary = (
-        cand.filter(~F.col("interior") | ~in_region)
-        .filter(
-            (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
-            & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax"))
+        pts.join(F.broadcast(qc_bnd), "cell")
+        .filter(bbox)
+        .select(*refine_cols)
+        .unionByName(
+            pts.join(F.broadcast(qc_int), "cell")
+            .filter(~in_region & bbox)
+            .select(*refine_cols)
         )
-        .select("query_id", F.col("id").alias("doc_id"), "x", "y")
     )
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
