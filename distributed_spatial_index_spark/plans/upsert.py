@@ -47,6 +47,16 @@ committed insert means the table is untouched (re-run the upsert); any
 later window removes the surviving affected files and re-manifests
 fully, leaving retained + batch rows exactly once.
 
+Concurrent-reader visibility: between INSERT and REMOVE a reader sees
+both the original affected files and the new ones — i.e. BOTH the old
+and the NEW version of a matched key, with CONFLICTING values.  This is
+a wider window than the delete's (whose transient duplicates carry
+identical values and collapse under result-set dedup).  True snapshot
+isolation for concurrent readers is the table-format feature the
+versioned ``_meta`` pointer stands in for; until then, run readers
+either before the journal opens or after settlement (the journal makes
+the in-between state detectable, not invisible).
+
 At the 100-TB design point the match scan broadcasts the batch keys
 (a micro-batch against the corpus); a corpus-scale batch falls back to
 a shuffled key join, the same plan a table format's MERGE executes.
@@ -106,7 +116,9 @@ def upsert_into_bucketed_table(
     ``{files_rewritten, files_new, rows_replaced, rows_inserted,
     meta_version, timings}`` (rows_inserted counts the whole batch —
     every batch row lands; rows_replaced counts the table rows that
-    died for it).
+    died for it).  An EMPTY batch is a no-op and returns the zeroed
+    counters WITHOUT ``timings`` (nothing ran to time; the shape is
+    pinned by test_upsert_empty_batch_is_a_noop).
 
     Preconditions, all loud: the table carries the bucket-layout spec
     with a local ``dsi.path`` and ``dsi.kind='points'``; it is UNSALTED
