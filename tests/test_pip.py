@@ -204,3 +204,43 @@ def test_mixed_arity_auto_groups_match_general(spark):
     arities = {len(r) for r in [tri, concave_quad]}
     assert arities == {3, 4}
     assert fast.select("query_id").distinct().count() > 1
+
+
+def test_general_path_refines_out_of_region_points(spark):
+    """The general path's clamped-point routing (r6): a point OUTSIDE the
+    region clamps into an edge cell; if that cell is classified interior
+    for a polygon overhanging the region edge, the point must still go
+    through the exact refine (branch 3), not be emitted directly — and
+    out-of-region points genuinely inside the polygon must be found."""
+    from pyspark.sql import functions as F
+
+    from distributed_spatial_index_spark.config import DEFAULT_REGION
+
+    x_hi = DEFAULT_REGION.x_hi  # 8626.0
+    # polygon overhangs the region's right edge: x in [8000, 9500]
+    square = [(8000.3, 4000.7), (9500.3, 4000.7), (9500.3, 5000.7), (8000.3, 5000.7)]
+    polys = spark.createDataFrame(
+        [(1, [{"x": vx, "y": vy} for vx, vy in square])],
+        "query_id long, vertices array<struct<x double, y double>>",
+    )
+    rows = [
+        (1, 8500.1, 4500.1),   # in region, inside polygon
+        (2, x_hi + 74.1, 4500.1),   # OUT of region, inside polygon
+        (3, x_hi + 874.1, 4500.1),  # out of region, inside polygon (same edge cell)
+        (4, x_hi + 974.1, 4500.1),  # out of region, OUTSIDE polygon (x > 9500.3)
+        (5, 8500.1, 6000.1),   # in region, outside polygon
+    ]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    got = sorted(
+        (r["query_id"], r["doc_id"])
+        for r in pip_join(pts, polys, bits=6, unroll_arity=None).collect()
+    )
+    # exact oracle: NumPy even-odd on the raw coordinates (no clamping)
+    verts = np.array(square)
+    px = np.array([r[1] for r in rows])
+    py = np.array([r[2] for r in rows])
+    inside = ray_cast_np(px, py, verts)
+    expect = sorted((1, rows[i][0]) for i in range(len(rows)) if inside[i])
+    assert got == expect
+    # the interesting rows really are the clamped ones
+    assert (1, 2) in got and (1, 3) in got and (1, 4) not in got
