@@ -258,7 +258,12 @@ def _knn_core(
         )
     else:
         remaining = q0.withColumn("r", F.lit(float(r0))).persist()
-    n_remaining = remaining.count()
+    # n_remaining (the total distinct-query count) is taken lazily AFTER
+    # round 1's action: that action materializes the ``remaining`` cache
+    # as a side effect (qcells derives from it), so the count becomes a
+    # trivial cached read instead of its own materialization chain — one
+    # fewer full action per call (the value is deterministic either way).
+    n_remaining: int | None = None
     rem_frames: list[DataFrame] = [remaining]  # final idempotent sweep
 
     rounds: list[DataFrame] = []
@@ -296,7 +301,10 @@ def _knn_core(
             .select("query_id", "rank", "doc_id", "d2")
             .persist()
         )
-        n_remaining -= scored.count() // k  # the round's ONLY action
+        settled = scored.count() // k  # the round's main action
+        if n_remaining is None:
+            n_remaining = remaining.count()  # cached by the action above
+        n_remaining -= settled
         rounds.append(scored)
         if prev_remaining is not None:
             prev_remaining.unpersist()
@@ -317,6 +325,8 @@ def _knn_core(
         # |docs| x |stragglers| rows, so it is BOUNDED by fallback_cap: a
         # pathological region at scale fails loudly with the knobs named
         # instead of silently submitting a quadratic join.
+        if n_remaining is None:  # max_rounds == 0: no round ever counted
+            n_remaining = remaining.count()
         if n_remaining > fallback_cap:
             pts.unpersist()
             for rdf in rounds + rem_frames:
